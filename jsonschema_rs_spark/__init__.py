@@ -1,0 +1,48 @@
+"""jsonschema_rs_spark — a PySpark-native schema + constraint validation engine.
+
+A from-scratch, Spark-first re-expression of the capabilities of
+``Stranger6667/jsonschema-rs`` (reference: ``crates/jsonschema/src/validator.rs``,
+``compiler.rs``): a declarative constraint spec (JSON-Schema keyword subset plus
+dataset-level constraints) is compiled ONCE on the driver into
+``pyspark.sql.Column`` expression trees and Arrow-vectorized pandas-UDF batch
+predicates, then evaluated set-at-a-time over typed DataFrames — never one
+document at a time, never per-row Python.
+
+Three execution modes mirror the reference's dual ``is_valid``/``validate``/
+``apply`` paths (reference ``validator.rs:28-89``):
+
+- ``verdicts``    — boolean per doc, no violation objects allocated
+                    (analogue of ``is_valid``; pure whole-stage-codegen plan).
+- ``violations``  — one row per violated constraint
+                    ``(doc_id, constraint_id, span_index, observed)``
+                    (analogue of ``validate``/``iter_errors``).
+- ``rollup``      — per-partition pass/fail + counters
+                    (analogue of ``apply().basic()`` aggregation).
+"""
+
+from jsonschema_rs_spark.spec import SpecError, resolve_refs
+from jsonschema_rs_spark.compiler import (
+    CompiledConstraint,
+    CompiledSpec,
+    compile_spec,
+)
+from jsonschema_rs_spark.plans.validate import (
+    validation_frame,
+    verdicts,
+    violations,
+    partition_rollup,
+)
+
+__all__ = [
+    "SpecError",
+    "resolve_refs",
+    "CompiledConstraint",
+    "CompiledSpec",
+    "compile_spec",
+    "validation_frame",
+    "verdicts",
+    "violations",
+    "partition_rollup",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,140 @@
+"""Built-in ``format`` checks, vectorized.
+
+The reference ships 19 built-in string formats with hand-rolled parsers
+(``crates/jsonschema/src/keywords/format.rs:660-812``).  Here each format is
+either (a) a pure Column predicate — regex and/or ``try_to_date``-family, so
+it stays inside whole-stage codegen — or (b) an Arrow-batched pandas UDF
+(one Python crossing per batch, the analogue of the reference's single FFI
+crossing per call) for formats that genuinely need a parser (ipv6, idn-*,
+regex-compilability).
+
+Custom formats (reference ``options.rs:335-358``) register via
+``register_format``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+# ---------------------------------------------------------------- regexes
+
+_DATE_RE = r"^\d{4}-\d{2}-\d{2}$"
+_TIME_RE = (
+    r"^([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)(\.\d+)?"
+    r"([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)$"
+)
+_DATETIME_RE = (
+    r"^\d{4}-\d{2}-\d{2}[Tt]([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)(\.\d+)?"
+    r"([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)$"
+)
+_DURATION_RE = (
+    r"^P(\d+W|(\d+Y)?(\d+M)?(\d+D)?(T(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?)$"
+)
+_EMAIL_RE = r"^[^@\s]+@[^@\s]+$"
+_HOSTNAME_RE = (
+    r"^(([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9-]{0,61}[a-zA-Z0-9])\.)*"
+    r"([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9-]{0,61}[a-zA-Z0-9])$"
+)
+_IPV4_RE = r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
+_UUID_RE = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+_URI_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*:[^\s]*$"
+_URI_REF_RE = r"^[^\s]*$"
+_URI_TEMPLATE_RE = r"^([^\x00-\x20\x7f\"'%<>\\^`{|}]|%[0-9a-fA-F]{2}|\{[+#./;?&=,!@|]?((\w|%[0-9a-fA-F]{2})(\.?(\w|%[0-9a-fA-F]{2}))*(:[1-9]\d{0,3}|\*)?)(,((\w|%[0-9a-fA-F]{2})(\.?(\w|%[0-9a-fA-F]{2}))*(:[1-9]\d{0,3}|\*)?))*\})*$"
+_JSON_POINTER_RE = r"^(/([^/~]|~[01])*)*$"
+_REL_JSON_POINTER_RE = r"^(0|[1-9][0-9]*)(#|(/([^/~]|~[01])*)*)$"
+
+
+def _rx(pattern: str) -> Callable[[Column], Column]:
+    return lambda c: c.rlike(pattern)
+
+
+def _date(c: Column) -> Column:
+    # regex gates shape; try_to_date validates the calendar (leap days etc.)
+    return c.rlike(_DATE_RE) & F.try_to_date(c, F.lit("yyyy-MM-dd")).isNotNull()
+
+
+# ------------------------------------------------------- pandas-UDF formats
+
+@F.pandas_udf(BooleanType())
+def _ipv6_udf(s: pd.Series) -> pd.Series:
+    import ipaddress
+
+    def ok(v):
+        if v is None:
+            return None
+        try:
+            ipaddress.IPv6Address(v)
+            return True
+        except ValueError:
+            return False
+
+    return s.map(ok)
+
+
+@F.pandas_udf(BooleanType())
+def _regex_format_udf(s: pd.Series) -> pd.Series:
+    import re as _re
+
+    def ok(v):
+        if v is None:
+            return None
+        try:
+            _re.compile(v)
+            return True
+        except _re.error:
+            return False
+
+    return s.map(ok)
+
+
+@F.pandas_udf(BooleanType())
+def _idn_hostname_udf(s: pd.Series) -> pd.Series:
+    def ok(v):
+        if v is None:
+            return None
+        try:
+            v.encode("idna")
+            return True
+        except (UnicodeError, IndexError):
+            return False
+
+    return s.map(ok)
+
+
+# ---------------------------------------------------------------- registry
+
+FORMATS: dict[str, Callable[[Column], Column]] = {
+    "date": _date,
+    "date-time": lambda c: c.rlike(_DATETIME_RE),
+    "time": _rx(_TIME_RE),
+    "duration": lambda c: c.rlike(_DURATION_RE) & (c != F.lit("P")) & ~c.endswith("T"),
+    "email": _rx(_EMAIL_RE),
+    "idn-email": _rx(_EMAIL_RE),
+    "hostname": lambda c: (F.length(c) <= 253) & c.rlike(_HOSTNAME_RE),
+    "idn-hostname": lambda c: _idn_hostname_udf(c),
+    "ipv4": _rx(_IPV4_RE),
+    "ipv6": lambda c: _ipv6_udf(c),
+    "uri": _rx(_URI_RE),
+    "uri-reference": _rx(_URI_REF_RE),
+    "iri": _rx(_URI_RE),
+    "iri-reference": _rx(_URI_REF_RE),
+    "uri-template": _rx(_URI_TEMPLATE_RE),
+    "uuid": _rx(_UUID_RE),
+    "json-pointer": _rx(_JSON_POINTER_RE),
+    "relative-json-pointer": _rx(_REL_JSON_POINTER_RE),
+    "regex": lambda c: _regex_format_udf(c),
+}
+
+
+def register_format(name: str, builder: Callable[[Column], Column]) -> None:
+    """Custom-format registration (mirrors reference ``options.rs:335-358``).
+
+    ``builder`` takes a string Column and returns a boolean Column; for a
+    Python checker ``f(str)->bool`` wrap it in ``F.pandas_udf('boolean')``.
+    """
+    FORMATS[name] = builder

@@ -1,0 +1,39 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[N]`` single-JVM; the configs below are the ones
+that matter identically on a 1000-executor cluster:
+
+- AQE on (runtime re-plan, partition coalescing, skew-join splitting) —
+  the north rule requires explicit skew handling; AQE skew-join plus the
+  salting helpers in ``operators/dataset.py`` cover it.
+- Arrow enabled for every pandas-UDF crossing.
+- ``files.maxPartitionBytes`` sized so a scan task's batch fits executor
+  memory with room for the fused constraint projection.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "jsonschema_rs_spark", cores: int | str = "*",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cores_s = str(cores)
+    builder = (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cores_s}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions",
+                                 str(shuffle_partitions))
+    return builder.getOrCreate()

@@ -1,0 +1,163 @@
+"""Constraint-spec model: $ref resolution, self-validation, options.
+
+Driver-side only — the analogue of the reference's compile front-end
+(``crates/jsonschema/src/compiler.rs:284-340``: draft detection, registry
+build, schema self-validation).  In a columnar engine nothing of this ever
+reaches an executor: refs are inlined into a plain dict before lowering.
+
+Recursive ``$ref`` (reference ``ref_.rs:82-155`` lazy thunks) has no columnar
+analogue — Column trees are finite — so cycles are unrolled to a bounded depth
+and rejected beyond it.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any
+
+MAX_REF_DEPTH = 16
+
+
+class SpecError(ValueError):
+    """Invalid constraint spec (analogue of reference meta-schema failure,
+    ``compiler.rs:323-335``)."""
+
+
+def _pointer_get(doc: Any, pointer: str) -> Any:
+    """Resolve a local JSON Pointer like ``#/$defs/span`` against ``doc``."""
+    if not pointer.startswith("#"):
+        raise SpecError(
+            f"only local '#/...' refs are supported (got {pointer!r}); "
+            "fetch remote resources on the driver before compiling"
+        )
+    cur = doc
+    for raw in pointer[1:].split("/"):
+        if raw == "":
+            continue
+        token = raw.replace("~1", "/").replace("~0", "~")
+        if isinstance(cur, list):
+            try:
+                cur = cur[int(token)]
+            except (ValueError, IndexError):
+                raise SpecError(f"unresolvable $ref segment {token!r} in {pointer!r}")
+        elif isinstance(cur, dict):
+            if token not in cur:
+                raise SpecError(f"unresolvable $ref {pointer!r} (missing {token!r})")
+            cur = cur[token]
+        else:
+            raise SpecError(f"unresolvable $ref {pointer!r}")
+    return cur
+
+
+def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0) -> Any:
+    """Inline every local ``$ref`` into a self-contained dict.
+
+    Bounded unrolling replaces the reference's lazy cycle detection
+    (``compiler.rs:182-197``): beyond MAX_REF_DEPTH we raise instead of
+    building an infinite Column tree.
+    """
+    if root is None:
+        root = schema
+    if depth > MAX_REF_DEPTH:
+        raise SpecError(
+            f"$ref nesting deeper than {MAX_REF_DEPTH}: recursive schemas must be "
+            "bounded for columnar compilation"
+        )
+    if isinstance(schema, dict):
+        if "$ref" in schema:
+            target = copy.deepcopy(_pointer_get(root, schema["$ref"]))
+            resolved = resolve_refs(target, root, depth + 1)
+            # Draft 2019+ allows sibling keywords next to $ref: merge them.
+            siblings = {k: v for k, v in schema.items() if k != "$ref"}
+            if siblings and isinstance(resolved, dict):
+                merged = dict(resolved)
+                extra = {
+                    k: resolve_refs(v, root, depth)
+                    for k, v in siblings.items()
+                    if k not in ("$defs", "definitions", "$id", "$schema")
+                }
+                # sibling keywords combine conjunctively with the referenced schema
+                if extra:
+                    merged = {"allOf": [resolved, extra]}
+                return merged
+            return resolved
+        return {
+            k: (v if k in ("enum", "const") else resolve_refs(v, root, depth))
+            for k, v in schema.items()
+        }
+    if isinstance(schema, list):
+        return [resolve_refs(v, root, depth) for v in schema]
+    return schema
+
+
+_KNOWN_KEYWORDS = {
+    # §2.1 type & value
+    "type", "enum", "const", "minimum", "maximum",
+    "exclusiveMinimum", "exclusiveMaximum", "multipleOf",
+    # §2.2 string
+    "minLength", "maxLength", "pattern", "format",
+    "contentEncoding", "contentMediaType",
+    # §2.3 object
+    "properties", "required", "patternProperties", "additionalProperties",
+    "propertyNames", "minProperties", "maxProperties",
+    "dependencies", "dependentRequired", "dependentSchemas",
+    # §2.4 array
+    "items", "prefixItems", "additionalItems",
+    "contains", "minContains", "maxContains",
+    "minItems", "maxItems", "uniqueItems",
+    # §2.5 logic
+    "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+    # §2.6 refs / metadata (handled or ignored as annotations)
+    "$ref", "$defs", "definitions", "$id", "$schema", "$comment",
+    "title", "description", "default", "examples", "deprecated",
+    "readOnly", "writeOnly", "$anchor", "$vocabulary",
+}
+
+
+def validate_spec(schema: Any, custom_keywords: set[str] = frozenset()) -> None:
+    """Light meta-validation (reference validates schemas against the draft
+    meta-schema, ``compiler.rs:246-282``).  Unknown keywords are annotations
+    in the reference (``compiler.rs:413-416``); we warn-by-raising only for
+    obviously malformed values, not unknown names."""
+    if isinstance(schema, bool):
+        return
+    if not isinstance(schema, dict):
+        raise SpecError(f"schema must be a dict or bool, got {type(schema).__name__}")
+    for k, v in schema.items():
+        if k in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
+                 "multipleOf") and not isinstance(v, (int, float)):
+            raise SpecError(f"{k} expects a number, got {v!r}")
+        if k in ("minLength", "maxLength", "minItems", "maxItems",
+                 "minProperties", "maxProperties", "minContains",
+                 "maxContains") and (not isinstance(v, int) or v < 0):
+            raise SpecError(f"{k} expects a non-negative integer, got {v!r}")
+        if k == "pattern" and not isinstance(v, str):
+            raise SpecError(f"pattern expects a string, got {v!r}")
+        if k == "required" and not (
+            isinstance(v, list) and all(isinstance(s, str) for s in v)
+        ):
+            raise SpecError(f"required expects a list of strings, got {v!r}")
+        if k == "enum" and not isinstance(v, list):
+            raise SpecError(f"enum expects a list, got {v!r}")
+        if k in ("allOf", "anyOf", "oneOf") and not (
+            isinstance(v, list) and len(v) >= 1
+        ):
+            raise SpecError(f"{k} expects a non-empty list of schemas, got {v!r}")
+        if k in ("properties", "patternProperties", "dependentSchemas") and not isinstance(v, dict):
+            raise SpecError(f"{k} expects an object, got {v!r}")
+        # recurse into subschemas
+        if k in ("properties", "patternProperties", "dependentSchemas", "$defs",
+                 "definitions"):
+            if isinstance(v, dict):
+                for sub in v.values():
+                    validate_spec(sub, custom_keywords)
+        elif k in ("items", "additionalItems", "additionalProperties",
+                   "propertyNames", "contains", "not", "if", "then", "else"):
+            if isinstance(v, (dict, bool)):
+                validate_spec(v, custom_keywords)
+            elif isinstance(v, list):  # draft4-7 tuple `items`
+                for sub in v:
+                    validate_spec(sub, custom_keywords)
+        elif k in ("allOf", "anyOf", "oneOf", "prefixItems"):
+            for sub in v:
+                validate_spec(sub, custom_keywords)
