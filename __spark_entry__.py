@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry pairs a Spark implementation from ``jsonschema_rs_spark`` with a
+DuckDB oracle over the same parquet inputs.  Span-level queries run over the
+deterministic span derivation (``sources/spans.py``) whose arithmetic is
+mirrored exactly by the ``SPANS_CTE_SQL`` CTE, so oracles are full
+value-level checks at any scale factor.
 """
 
 from __future__ import annotations
@@ -12,27 +12,598 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from jsonschema_rs_spark.compiler import compile_spec
+from jsonschema_rs_spark.flagship import flagship_violations, flagship_rollup
+from jsonschema_rs_spark.plans.validate import violations
+from jsonschema_rs_spark.sources.spans import SPANS_CTE_SQL, derive_spans, flat_spans
+from jsonschema_rs_spark.functions import text as T
+from jsonschema_rs_spark.operators import dataset as DS
+from jsonschema_rs_spark.operators import dedup as DD
+from jsonschema_rs_spark.operators import similarity as SIM
+from jsonschema_rs_spark.operators import multimodal as MM
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministic planted duplicates (for dedup ops)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dup)
+
+
+_CORPUS_SQL = """
+corpus AS (
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS id, text FROM documents WHERE doc_id % 50 = 0
+)
+"""
+
+# normalized text + word list (matches functions/text.py normalize())
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _span_spec(inner: dict) -> dict:
+    return {"properties": {"spans": inner}}
+
+
+# --------------------------------------------------------------------------
+# query implementations
+# --------------------------------------------------------------------------
+
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flagship_violations(spark, sf_dir)
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flagship_rollup(spark, sf_dir)
+
+
+def _kw_violations(spark, sf_dir, spec) -> DataFrame:
+    df = derive_spans(spark, sf_dir)
+    return violations(df, compile_spec(spec, df.schema))
+
+
+def q_kw_enum(spark, sf_dir):
+    return _kw_violations(spark, sf_dir, _span_spec(
+        {"items": {"properties": {"kind": {"enum": ["text", "image", "audio"]}}}}))
+
+
+def q_kw_minimum(spark, sf_dir):
+    return _kw_violations(spark, sf_dir, _span_spec(
+        {"items": {"properties": {"offset": {"minimum": 0}}}}))
+
+
+def q_kw_multiple_of(spark, sf_dir):
+    return _kw_violations(spark, sf_dir, _span_spec(
+        {"items": {"properties": {"offset": {"multipleOf": 8}}}}))
+
+
+def q_kw_min_length(spark, sf_dir):
+    return _kw_violations(spark, sf_dir, _span_spec(
+        {"items": {"properties": {"text": {"minLength": 4}}}}))
+
+
+def q_kw_items_bounds(spark, sf_dir):
+    return _kw_violations(spark, sf_dir, _span_spec(
+        {"minItems": 5, "maxItems": 60}))
+
+
+def q_kw_contains(spark, sf_dir):
+    return _kw_violations(spark, sf_dir, _span_spec(
+        {"contains": {"properties": {"kind": {"const": "image"}}}}))
+
+
+def q_kw_unique_items(spark, sf_dir):
+    df = derive_spans(spark, sf_dir).select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda x: F.struct(
+                x["kind"].alias("kind"),
+                x["text"].alias("text"),
+                x["media_ref"].alias("media_ref"),
+                (x["offset"] % 16).cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+        "part_key",
+    )
+    return violations(df, compile_spec(
+        _span_spec({"uniqueItems": True}), df.schema))
+
+
+def q_kw_map_props(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.from_json("props", "map<string,int>").alias("props")
+    )
+    spec = {"properties": {"props": {
+        "required": ["k"], "properties": {"k": {"maximum": 50}}}}}
+    return violations(ev, compile_spec(spec, ev.schema),
+                      id_cols=("event_id",))
+
+
+def q_kw_format_date(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit("2024-13-45"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd"))
+        .alias("d"),
+    )
+    spec = {"properties": {"d": {"format": "date"}}}
+    return violations(ev, compile_spec(spec, ev.schema), id_cols=("event_id",))
+
+
+def q_ds_stats_bounds(spark, sf_dir):
+    fs = flat_spans(spark, sf_dir)
+    return fs.groupBy("part_key").agg(
+        F.round(F.avg(F.col("text").isNull().cast("double")), 6).alias(
+            "text_null_rate"),
+        F.min("offset").alias("offset_min"),
+        F.max("offset").alias("offset_max"),
+        F.countDistinct("kind").alias("kind_distinct"),
+    )
+
+
+def q_ds_unique(spark, sf_dir):
+    return DS.uniqueness_violations(_events(spark, sf_dir), ["user_id"])
+
+
+def q_ds_ref_integrity(spark, sf_dir):
+    fs = flat_spans(spark, sf_dir)
+    refs = fs.filter(F.col("media_ref").isNotNull())
+    catalog = (
+        refs.select("media_ref").distinct()
+        .filter(F.substring("media_ref", 9, 12).cast("int") % 16 != 0)
+    )
+    return DS.referential_violations(refs, "media_ref", catalog, "media_ref")
+
+
+def q_ds_chi2_drift(spark, sf_dir):
+    fs = flat_spans(spark, sf_dir)
+    out = DS.chi_square_drift(fs, "kind", "part_key")
+    return out.select(
+        "part_key", F.round("chi2", 4).alias("chi2"), "n_rows", "drifted")
+
+
+def q_ds_ks_drift(spark, sf_dir):
+    fs = flat_spans(spark, sf_dir)
+    out = DS.ks_drift(fs, "offset", "part_key", n_bins=64)
+    return out.select(
+        "part_key", F.round("ks_stat", 4).alias("ks_stat"), "drifted")
+
+
+def q_txt_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).cast("bigint").alias("n_tokens"),
+        F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(T.mean_word_len(t), 6).alias("mean_word_len"),
+        F.round(T.quality_score(t), 2).alias("quality"),
+        T.lang_guess(t).alias("lang_guess"),
+        T.fingerprint(t).alias("fp"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return DD.exact_duplicates(_corpus(spark, sf_dir), "doc_id", "text").select(
+        "fp", F.col("n_dups").cast("bigint").alias("n_dups"), "keep_id")
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return DD.minhash_lsh_pairs(_corpus(spark, sf_dir), "doc_id", "text",
+                                n=3, n_hashes=16, bands=4)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    out = DD.ngram_jaccard_pairs(_corpus(spark, sf_dir), "doc_id", "text",
+                                 n=3, threshold=0.8)
+    return out.select(
+        "id_a", "id_b", F.col("inter").cast("bigint").alias("inter"),
+        F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(F.col("doc_id").alias("id"),
+                    DD.simhash64(F.col("text")).alias("simhash"))
+
+
+def q_sim_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return SIM.cosine_topk(emb, q, k=10)
+
+
+def q_sim_lsh_ann(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return SIM.lsh_ann_topk(emb, q, k=10, n_planes=16, bands=4)
+
+
+def q_mm_media_features(spark, sf_dir):
+    fs = flat_spans(spark, sf_dir)
+    media = (
+        fs.filter(F.col("media_ref").isNotNull())
+        .select("media_ref", F.col("kind").alias("media_kind"))
+        .distinct()
+    )
+    media = MM.attach_fake_payload(media)
+    feats = MM.extract_media_features(media)
+    return feats.select("media_ref", "media_kind", "n_bytes", "header_hex")
+
+
+# --------------------------------------------------------------------------
+# contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full constraint-suite violation rows at sf0.001."""
+    return flagship_violations(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship_violations": q_flagship,
+        "verdict_rollup": q_rollup,
+        "kw_enum": q_kw_enum,
+        "kw_minimum": q_kw_minimum,
+        "kw_multiple_of": q_kw_multiple_of,
+        "kw_min_length": q_kw_min_length,
+        "kw_items_bounds": q_kw_items_bounds,
+        "kw_contains": q_kw_contains,
+        "kw_unique_items": q_kw_unique_items,
+        "kw_map_props": q_kw_map_props,
+        "kw_format_date": q_kw_format_date,
+        "ds_stats_bounds": q_ds_stats_bounds,
+        "ds_unique": q_ds_unique,
+        "ds_ref_integrity": q_ds_ref_integrity,
+        "ds_chi2_drift": q_ds_chi2_drift,
+        "ds_ks_drift": q_ds_ks_drift,
+        "txt_stats": q_txt_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_topk": q_sim_topk,
+        "sim_lsh_ann": q_sim_lsh_ann,  # no oracle: LSH recall tested in pytest
+        "mm_media_features": q_mm_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+_FLAGSHIP_VIOLATIONS_SELECT = """
+SELECT doc_id, 'spans/items/kind/enum' AS constraint_id, span_index,
+       kind AS observed
+FROM spans WHERE kind NOT IN ('text', 'image', 'audio')
+UNION ALL
+SELECT doc_id, 'spans/items/text/minLength', span_index, text
+FROM spans WHERE text IS NOT NULL AND len(text) < 4
+UNION ALL
+SELECT doc_id, 'spans/items/offset/minimum', span_index,
+       CAST("offset" AS VARCHAR)
+FROM spans WHERE "offset" < 0
+UNION ALL
+SELECT doc_id, 'spans/items/offset/multipleOf', span_index,
+       CAST("offset" AS VARCHAR)
+FROM spans WHERE "offset" % 8 <> 0
+"""
+
+_SHINGLE_SQL = f"""
+words AS (
+    SELECT id, string_split({_NORM_SQL}, ' ') AS ws FROM corpus
+),
+sh AS (
+    SELECT id, list_distinct(
+        list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    ) AS shingles FROM words
+),
+shf AS (SELECT id, shingles FROM sh WHERE len(shingles) > 0),
+e AS (SELECT id, unnest(shingles) AS s FROM shf)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sig_cols = ", ".join(
+        f"max(CASE WHEN hi = {i} THEN mn END) AS h{i}" for i in range(16)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"h{b * 4 + r}" for r in range(4)),
+        )
+        for b in range(4)
+    )
+    return {
+        "flagship_violations": SPANS_CTE_SQL + _FLAGSHIP_VIOLATIONS_SELECT,
+        "verdict_rollup": SPANS_CTE_SQL + f"""
+, v AS ({_FLAGSHIP_VIOLATIONS_SELECT})
+, vc AS (SELECT doc_id, count(*) AS c FROM v GROUP BY doc_id)
+, d AS (
+    SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id,
+           CAST(doc_id % 32 AS INTEGER) AS part_key
+    FROM documents
+)
+SELECT part_key,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS valid_docs,
+       CAST(sum(coalesce(c, 0)) AS BIGINT) AS violation_rows,
+       (count(*) = sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END)) AS pass
+FROM d LEFT JOIN vc USING (doc_id)
+GROUP BY part_key
+""",
+        "kw_enum": SPANS_CTE_SQL + """
+SELECT doc_id, 'spans/items/kind/enum' AS constraint_id, span_index,
+       kind AS observed
+FROM spans WHERE kind NOT IN ('text', 'image', 'audio')
+""",
+        "kw_minimum": SPANS_CTE_SQL + """
+SELECT doc_id, 'spans/items/offset/minimum' AS constraint_id, span_index,
+       CAST("offset" AS VARCHAR) AS observed
+FROM spans WHERE "offset" < 0
+""",
+        "kw_multiple_of": SPANS_CTE_SQL + """
+SELECT doc_id, 'spans/items/offset/multipleOf' AS constraint_id, span_index,
+       CAST("offset" AS VARCHAR) AS observed
+FROM spans WHERE "offset" % 8 <> 0
+""",
+        "kw_min_length": SPANS_CTE_SQL + """
+SELECT doc_id, 'spans/items/text/minLength' AS constraint_id, span_index,
+       text AS observed
+FROM spans WHERE text IS NOT NULL AND len(text) < 4
+""",
+        "kw_items_bounds": """
+WITH d AS (
+    SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id,
+           len(string_split(text, ' ')) AS n
+    FROM documents
+)
+SELECT doc_id, 'spans/minItems' AS constraint_id,
+       CAST(NULL AS INTEGER) AS span_index, CAST(n AS VARCHAR) AS observed
+FROM d WHERE n < 5
+UNION ALL
+SELECT doc_id, 'spans/maxItems', CAST(NULL AS INTEGER), CAST(n AS VARCHAR)
+FROM d WHERE n > 60
+""",
+        "kw_contains": SPANS_CTE_SQL + """
+SELECT doc_id, 'spans/contains' AS constraint_id,
+       CAST(NULL AS INTEGER) AS span_index,
+       CAST(count(*) FILTER (WHERE kind = 'image') AS VARCHAR) AS observed
+FROM spans GROUP BY doc_id
+HAVING count(*) FILTER (WHERE kind = 'image') = 0
+""",
+        "kw_unique_items": SPANS_CTE_SQL + """
+SELECT doc_id, 'spans/uniqueItems' AS constraint_id,
+       CAST(NULL AS INTEGER) AS span_index,
+       CAST(count(*) - count(DISTINCT (kind, text, media_ref, "offset" % 16))
+            AS VARCHAR) AS observed
+FROM spans GROUP BY doc_id
+HAVING count(*) > count(DISTINCT (kind, text, media_ref, "offset" % 16))
+""",
+        "kw_map_props": """
+SELECT event_id, 'props/k' AS constraint_id,
+       CAST(NULL AS INTEGER) AS span_index,
+       json_extract_string(props, '$.k') AS observed
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+""",
+        "kw_format_date": """
+SELECT event_id, 'd/format' AS constraint_id,
+       CAST(NULL AS INTEGER) AS span_index,
+       '2024-13-45' AS observed
+FROM events WHERE event_id % 10 = 0
+""",
+        "ds_stats_bounds": SPANS_CTE_SQL + """
+SELECT part_key,
+       round(avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 6)
+           AS text_null_rate,
+       min("offset") AS offset_min,
+       max("offset") AS offset_max,
+       CAST(count(DISTINCT kind) AS BIGINT) AS kind_distinct
+FROM spans GROUP BY part_key
+""",
+        "ds_unique": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM events GROUP BY user_id HAVING count(*) > 1
+""",
+        "ds_ref_integrity": SPANS_CTE_SQL + """
+SELECT media_ref, CAST(count(*) AS BIGINT) AS n_refs
+FROM spans
+WHERE media_ref IS NOT NULL
+  AND CAST(substr(media_ref, 9) AS INTEGER) % 16 = 0
+GROUP BY media_ref
+""",
+        "ds_chi2_drift": SPANS_CTE_SQL + """
+, h AS (SELECT part_key, kind, CAST(count(*) AS DOUBLE) AS n
+        FROM spans GROUP BY 1, 2)
+, g AS (SELECT kind, sum(n) AS gn FROM h GROUP BY 1)
+, t AS (SELECT part_key, sum(n) AS pn FROM h GROUP BY 1)
+, gt AS (SELECT sum(gn) AS gtot FROM g)
+, c AS (
+    SELECT h.part_key,
+           sum((h.n - g.gn / gt.gtot * t.pn) * (h.n - g.gn / gt.gtot * t.pn)
+               / (g.gn / gt.gtot * t.pn)) AS chi2,
+           sum(h.n) AS n
+    FROM h JOIN g USING (kind) JOIN t USING (part_key) CROSS JOIN gt
+    GROUP BY h.part_key
+)
+SELECT part_key, round(chi2, 4) AS chi2, CAST(n AS BIGINT) AS n_rows,
+       (chi2 > 27.0) AS drifted
+FROM c
+""",
+        "ds_ks_drift": SPANS_CTE_SQL + """
+, mm AS (SELECT CAST(min("offset") AS DOUBLE) AS lo,
+                CAST(max("offset") AS DOUBLE) AS hi FROM spans)
+, b AS (SELECT part_key,
+               least(63, CAST(floor(("offset" - lo) / ((hi - lo) / 64))
+                              AS BIGINT)) AS bucket
+        FROM spans, mm)
+, h AS (SELECT part_key, bucket, count(*) AS n FROM b GROUP BY 1, 2)
+, g AS (SELECT bucket, sum(n) AS gn FROM h GROUP BY 1)
+, pc AS (SELECT part_key, bucket,
+                CAST(sum(n) OVER (PARTITION BY part_key ORDER BY bucket)
+                     AS DOUBLE)
+                / sum(n) OVER (PARTITION BY part_key) AS p_cdf
+         FROM h)
+, gc AS (SELECT bucket,
+                CAST(sum(gn) OVER (ORDER BY bucket) AS DOUBLE)
+                / sum(gn) OVER () AS g_cdf
+         FROM g)
+, ks AS (SELECT part_key, max(abs(p_cdf - g_cdf)) AS ks_stat
+         FROM pc JOIN gc USING (bucket) GROUP BY part_key)
+SELECT part_key, round(ks_stat, 4) AS ks_stat, (ks_stat > 0.15) AS drifted
+FROM ks
+""",
+        "txt_stats": f"""
+WITH n AS (
+    SELECT doc_id, text, {_NORM_SQL} AS norm,
+           CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+    FROM documents
+),
+w AS (
+    SELECT doc_id, text, norm, n_tok,
+           string_split(norm, ' ') AS ws,
+           (len(text) - len(regexp_replace(text, '[^\\sa-zA-Z0-9]', '', 'g')))
+               / greatest(len(text), 1)::DOUBLE AS p_ratio,
+           CAST(list_sum(list_transform(string_split(norm, ' '),
+                                        x -> len(x))) AS DOUBLE)
+               / greatest(len(string_split(norm, ' ')), 1) AS mwl
+    FROM n
+),
+s AS (
+    SELECT *,
+      len(list_filter(ws, x -> x IN
+        ('the','and','of','to','a','in','is','it','that','for'))) AS en_hits,
+      len(list_filter(ws, x -> x IN
+        ('der','die','das','und','ist','nicht','ein','zu','mit'))) AS de_hits,
+      len(list_filter(ws, x -> x IN
+        ('le','la','les','et','de','un','une','est','pour','que'))) AS fr_hits
+    FROM w
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       round(p_ratio, 6) AS punct_ratio,
+       round(mwl, 6) AS mean_word_len,
+       CAST(round(
+         (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)*0.4
+         + (CASE WHEN p_ratio < 0.3 THEN 1.0 ELSE 0.0 END)*0.2
+         + (CASE WHEN en_hits / greatest(n_tok, 1)::DOUBLE > 0.01
+                 THEN 1.0 ELSE 0.0 END)*0.2
+         + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END)*0.2,
+         2) AS DOUBLE) AS quality,
+       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0
+            THEN 'en'
+            WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+            WHEN fr_hits > 0 THEN 'fr'
+            ELSE 'und' END AS lang_guess,
+       md5(norm) AS fp
+FROM s
+""",
+        "dedup_exact": f"""
+WITH {_CORPUS_SQL},
+fp AS (SELECT id, md5({_NORM_SQL}) AS fp FROM corpus)
+SELECT fp, CAST(count(*) AS BIGINT) AS n_dups, min(id) AS keep_id
+FROM fp GROUP BY fp HAVING count(*) > 1
+""",
+        "dedup_minhash_lsh": f"""
+WITH {_CORPUS_SQL},
+{_SHINGLE_SQL},
+mh AS (
+    SELECT id, hh.i AS hi,
+           min(md5(CAST(hh.i AS VARCHAR) || ':' || s)) AS mn
+    FROM e, unnest(range(0, 16)) AS hh(i)
+    GROUP BY id, hh.i
+),
+sig AS (SELECT id, {sig_cols} FROM mh GROUP BY id),
+bands AS ({band_selects})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+""",
+        "dedup_ngram_jaccard": f"""
+WITH {_CORPUS_SQL},
+{_SHINGLE_SQL},
+dfreq AS (SELECT s, count(*) AS df_ FROM e GROUP BY s),
+ef AS (SELECT e.id, e.s FROM e JOIN dfreq USING (s) WHERE df_ <= 100),
+sizes AS (SELECT id, len(shingles) AS n_sh FROM shf),
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+    FROM ef a JOIN ef b ON a.s = b.s AND a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+       round(inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE >= 0.8
+""",
+        "dedup_simhash": f"""
+WITH words AS (
+    SELECT doc_id AS id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+),
+w2 AS (SELECT id, unnest(ws) AS w FROM words),
+h AS (SELECT id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv FROM w2),
+votes AS (
+    SELECT id, bb.b AS bit,
+           sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM h, unnest(range(0, 60)) AS bb(b)
+    GROUP BY id, bb.b
+)
+SELECT id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                         ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY id
+""",
+        "sim_topk": """
+WITH scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                            CAST(c.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[]))))
+           AS cosd
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 5
+),
+ranked AS (
+    SELECT query_id, vec_id, cosd,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosd DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank,
+       round(cosd, 6) AS cos
+FROM ranked WHERE rank <= 10
+""",
+        "mm_media_features": SPANS_CTE_SQL + """
+SELECT DISTINCT media_ref, kind AS media_kind,
+       CAST(8 * len(media_ref) AS INTEGER) AS n_bytes,
+       lower(hex(encode(substr(media_ref, 1, 4)))) AS header_hex
+FROM spans WHERE media_ref IS NOT NULL
+""",
+    }

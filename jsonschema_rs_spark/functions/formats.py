@@ -55,7 +55,7 @@ def _rx(pattern: str) -> Callable[[Column], Column]:
 
 def _date(c: Column) -> Column:
     # regex gates shape; try_to_date validates the calendar (leap days etc.)
-    return c.rlike(_DATE_RE) & F.try_to_date(c, F.lit("yyyy-MM-dd")).isNotNull()
+    return c.rlike(_DATE_RE) & F.try_to_date(c, "yyyy-MM-dd").isNotNull()
 
 
 # ------------------------------------------------------- pandas-UDF formats

@@ -1,0 +1,290 @@
+"""Dataset-level constraints (SURVEY.md §2.9) — the aggregation layer.
+
+These are the constraints with no 1:1 reference keyword: the reference
+validates one document at a time, so cross-document invariants (uniqueness,
+null rates, drift) are exactly what the Spark engine adds.  Design notes per
+operator, with the 100-TB rationale:
+
+- Column stats (null-rate / min / max / cardinality) all fold into ONE
+  ``groupBy(partition).agg(...)`` — a single map-side-combinable shuffle of
+  tiny partial-agg state.  At 10^12 rows the shuffle payload is
+  O(partitions × constraints), not O(rows).
+- Uniqueness is a two-phase count (partial agg → final agg on key).  Only
+  keys with count > 1 survive the filter, so the emitted violation set is
+  skew-proof; AQE handles residual reducer skew.
+- Referential integrity broadcasts the catalog when small (explicit
+  ``F.broadcast``) — a map-side anti join, zero shuffle of the fact side.
+- Drift (χ² for categorical, KS for numeric) aggregates per-partition
+  histograms/quantiles first; the statistic is computed on the tiny
+  aggregated frame with Column math (no scipy dependency, no UDF).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# per-partition column stats bounds — one fused agg
+# --------------------------------------------------------------------------
+
+@dataclass
+class ColumnStatsConstraint:
+    column: str
+    max_null_rate: float | None = None
+    min_value: float | None = None          # observed min must be >= this
+    max_value: float | None = None          # observed max must be <= this
+    max_distinct: int | None = None         # approx cardinality bound
+    min_distinct: int | None = None
+
+
+def column_stats(
+    df: DataFrame,
+    constraints: Sequence[ColumnStatsConstraint],
+    part_col: str,
+) -> DataFrame:
+    """One pass: per-partition stats for every constrained column, fused into
+    a single aggregate (map-side combine keeps shuffle state tiny)."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("rows")]
+    for c in constraints:
+        col = F.col(c.column)
+        safe = c.column.replace(".", "_")
+        aggs.append(F.avg(col.isNull().cast("double")).alias(f"{safe}__null_rate"))
+        aggs.append(F.min(col).alias(f"{safe}__min"))
+        aggs.append(F.max(col).alias(f"{safe}__max"))
+        aggs.append(F.approx_count_distinct(col).alias(f"{safe}__approx_distinct"))
+    return df.groupBy(part_col).agg(*aggs)
+
+
+def column_stats_verdicts(
+    df: DataFrame,
+    constraints: Sequence[ColumnStatsConstraint],
+    part_col: str,
+) -> DataFrame:
+    """Violation rows ``(part, constraint_id, observed)`` for stats bounds."""
+    stats = column_stats(df, constraints, part_col)
+    checks: list[Column] = []
+    for c in constraints:
+        safe = c.column.replace(".", "_")
+        if c.max_null_rate is not None:
+            checks.append(
+                F.when(
+                    F.col(f"{safe}__null_rate") > c.max_null_rate,
+                    F.struct(
+                        F.lit(f"dataset/{c.column}/null_rate").alias("constraint_id"),
+                        F.col(f"{safe}__null_rate").cast("string").alias("observed"),
+                    ),
+                )
+            )
+        if c.min_value is not None:
+            checks.append(
+                F.when(
+                    F.col(f"{safe}__min") < c.min_value,
+                    F.struct(
+                        F.lit(f"dataset/{c.column}/min").alias("constraint_id"),
+                        F.col(f"{safe}__min").cast("string").alias("observed"),
+                    ),
+                )
+            )
+        if c.max_value is not None:
+            checks.append(
+                F.when(
+                    F.col(f"{safe}__max") > c.max_value,
+                    F.struct(
+                        F.lit(f"dataset/{c.column}/max").alias("constraint_id"),
+                        F.col(f"{safe}__max").cast("string").alias("observed"),
+                    ),
+                )
+            )
+        if c.max_distinct is not None:
+            checks.append(
+                F.when(
+                    F.col(f"{safe}__approx_distinct") > c.max_distinct,
+                    F.struct(
+                        F.lit(f"dataset/{c.column}/max_cardinality").alias("constraint_id"),
+                        F.col(f"{safe}__approx_distinct").cast("string").alias("observed"),
+                    ),
+                )
+            )
+        if c.min_distinct is not None:
+            checks.append(
+                F.when(
+                    F.col(f"{safe}__approx_distinct") < c.min_distinct,
+                    F.struct(
+                        F.lit(f"dataset/{c.column}/min_cardinality").alias("constraint_id"),
+                        F.col(f"{safe}__approx_distinct").cast("string").alias("observed"),
+                    ),
+                )
+            )
+    v = F.explode(F.filter(F.array(*checks), lambda x: x.isNotNull())).alias("v")
+    return stats.select(F.col(part_col), v).select(
+        part_col,
+        F.col("v.constraint_id").alias("constraint_id"),
+        F.col("v.observed").alias("observed"),
+    )
+
+
+def hll_sketches(df: DataFrame, columns: Sequence[str], part_col: str) -> DataFrame:
+    """Mergeable HLL sketch state per partition (Spark 3.5+ datasketches).
+
+    The binary sketches go into the checkpoint manifest; on resume they merge
+    with ``hll_union_agg`` instead of rescanning finished partitions."""
+    aggs = [F.hll_sketch_agg(F.col(c)).alias(f"{c}__hll") for c in columns]
+    return df.groupBy(part_col).agg(*aggs)
+
+
+def merge_hll(sketch_frames: DataFrame, columns: Sequence[str]) -> DataFrame:
+    aggs = [
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(f"{c}__hll"))).alias(
+            f"{c}__distinct"
+        )
+        for c in columns
+    ]
+    return sketch_frames.agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# uniqueness
+# --------------------------------------------------------------------------
+
+def uniqueness_violations(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Global duplicate keys: two-phase hash agg (partial count per map task
+    → final count per key), then filter count > 1.  Emits
+    ``(key..., n_dups)``.  Never a window over the full table."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# referential integrity
+# --------------------------------------------------------------------------
+
+def referential_violations(
+    fact: DataFrame,
+    ref_col: str,
+    catalog: DataFrame,
+    catalog_key: str,
+    broadcast_catalog: bool = True,
+) -> DataFrame:
+    """Non-null ``ref_col`` values missing from the catalog.
+
+    Distinct-first shrinks the probe side before the join; the catalog is
+    broadcast when small (dimension-table shape) so the 100-TB fact side
+    never shuffles."""
+    refs = fact.select(F.col(ref_col).alias("media_ref")).filter(
+        F.col("media_ref").isNotNull()
+    )
+    cat = catalog.select(F.col(catalog_key).alias("media_ref")).distinct()
+    if broadcast_catalog:
+        cat = F.broadcast(cat)
+    dangling = refs.join(cat, "media_ref", "left_anti")
+    return dangling.groupBy("media_ref").agg(F.count(F.lit(1)).alias("n_refs"))
+
+
+# --------------------------------------------------------------------------
+# distribution drift
+# --------------------------------------------------------------------------
+
+def chi_square_drift(
+    df: DataFrame,
+    cat_col: str,
+    part_col: str,
+    threshold: float = 27.0,
+) -> DataFrame:
+    """χ² statistic per partition vs the GLOBAL category distribution.
+
+    Plan: one ``groupBy(part, cat).count()`` (map-side combinable), then the
+    global distribution derives from the same aggregated frame (no second
+    scan), broadcast back onto the per-partition histogram.  The statistic is
+    pure Column math; ``threshold`` is the critical value (default ≈ χ²₀.₀₀₁
+    for ~8 dof) since p-values need scipy, which stays optional.
+    """
+    hist = df.groupBy(part_col, cat_col).agg(F.count(F.lit(1)).alias("n"))
+    hist = hist.cache()
+    global_hist = hist.groupBy(cat_col).agg(F.sum("n").alias("gn"))
+    totals = hist.groupBy(part_col).agg(F.sum("n").alias("pn"))
+    gtotal = global_hist.agg(F.sum("gn").alias("gt"))
+    joined = (
+        hist.join(F.broadcast(global_hist), cat_col)
+        .join(F.broadcast(totals), part_col)
+        .crossJoin(F.broadcast(gtotal))
+        .withColumn("expected", F.col("gn") / F.col("gt") * F.col("pn"))
+    )
+    return (
+        joined.groupBy(part_col)
+        .agg(
+            F.sum(
+                (F.col("n") - F.col("expected")) ** 2 / F.col("expected")
+            ).alias("chi2"),
+            F.sum("n").alias("n_rows"),
+        )
+        .withColumn("drifted", F.col("chi2") > threshold)
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    num_col: str,
+    part_col: str,
+    n_bins: int = 64,
+    threshold: float = 0.15,
+) -> DataFrame:
+    """Approximate two-sample KS per partition vs the global distribution.
+
+    Exact KS needs a full sort; at scale we bin the numeric column into
+    equi-width buckets (one agg), build per-partition and global CDFs over
+    the bucket histogram, and take the max CDF gap.  Bin count bounds the
+    approximation error at 1/n_bins."""
+    lo_hi = df.agg(
+        F.min(num_col).alias("lo"), F.max(num_col).alias("hi")
+    ).collect()[0]
+    lo, hi = float(lo_hi["lo"]), float(lo_hi["hi"])
+    width = (hi - lo) / n_bins or 1.0
+    bucket = F.least(
+        F.lit(n_bins - 1),
+        F.floor((F.col(num_col) - F.lit(lo)) / F.lit(width)),
+    ).alias("bucket")
+    hist = df.select(F.col(part_col), bucket).groupBy(part_col, "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hist = hist.cache()
+    g = hist.groupBy("bucket").agg(F.sum("n").alias("gn"))
+    w_p = Window.partitionBy(part_col).orderBy("bucket")
+    w_g = Window.orderBy("bucket")
+    pc = hist.withColumn(
+        "p_cdf",
+        F.sum("n").over(w_p)
+        / F.sum("n").over(Window.partitionBy(part_col)),
+    )
+    gc = g.withColumn("g_cdf", F.sum("gn").over(w_g) / F.sum("gn").over(Window.partitionBy()))
+    joined = pc.join(F.broadcast(gc.select("bucket", "g_cdf")), "bucket")
+    return (
+        joined.groupBy(part_col)
+        .agg(F.max(F.abs(F.col("p_cdf") - F.col("g_cdf"))).alias("ks_stat"))
+        .withColumn("drifted", F.col("ks_stat") > threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# skew handling
+# --------------------------------------------------------------------------
+
+def salted_repartition(df: DataFrame, key_col: str, salt_buckets: int = 32) -> DataFrame:
+    """Explicit salting for hot keys (north rule): append a deterministic
+    salt derived from the WHOLE row (not the key — the point is to split one
+    hot key across reducers) so a hot ``part_key`` spreads over
+    ``salt_buckets`` reducers.  Use before heavy per-partition work when AQE
+    skew splitting isn't available (e.g. non-join stages)."""
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    return (
+        df.withColumn("_salt", salt)
+        .repartition(F.col(key_col), F.col("_salt"))
+        .drop("_salt")
+    )

@@ -1,0 +1,272 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five families, each a DataFrame-in → DataFrame-out operator:
+
+- exact            : hash-groupBy on a normalized fingerprint
+- ngram_jaccard    : word-shingle inverted index → candidate pairs →
+                     exact Jaccard, thresholded
+- minhash_lsh      : per-doc minhash signature (portable md5-string minima),
+                     banded into LSH buckets; pairs sharing a band bucket
+                     are near-dup candidates
+- simhash          : 64-bit simhash from md5-derived token hashes; hamming
+                     buckets via band equality
+- embedding cosine : see operators/similarity.py (near_duplicates_cosine)
+
+Scale notes: every operator is built around *candidate generation by
+bucketing* (shuffle on bucket key, combinable) followed by *verification on
+pairs within a bucket* — never an all-pairs cross join.  Hash functions are
+md5-based so DuckDB oracles can reproduce values bit-for-bit (Spark's
+``hash``/``xxhash64`` are not portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jsonschema_rs_spark.functions.text import fingerprint, normalize
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of identical (normalized) documents: ``(fingerprint,
+    n_dups, keep_id, dup_ids)``. One combinable shuffle on the fingerprint."""
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("id").alias("keep_id"),
+            F.sort_array(F.collect_list("id")).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one representative (min id) per fingerprint — the actual dedup
+    pass.  Window-free: groupBy + semi join keeps it combinable."""
+    keep = (
+        df.select(F.col(id_col).alias(id_col),
+                  fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# shingles
+# --------------------------------------------------------------------------
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of word n-gram strings over the normalized text (distinct)."""
+    words = F.split(normalize(text), " ")
+    k = F.size(words) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs by exact word-shingle Jaccard ≥ threshold.
+
+    Candidate generation: inverted index on shingles (explode → self-join on
+    shingle → count shared).  |A∩B| comes from the join; |A|,|B| broadcast
+    back; Jaccard = inter / (|A|+|B|-inter).  The shuffle key is the shingle,
+    so hot shingles are the skew risk — mitigated by dropping shingles above
+    a document-frequency cap (they carry no discriminative signal)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    )
+    sizes = sh.select("id", F.size("shingles").alias("n_sh")).filter(
+        F.col("n_sh") > 0
+    )
+    inv = sh.select("id", F.explode("shingles").alias("shingle"))
+    # df-cap: a shingle present in >1% of docs (min 100) is a stopword-gram
+    df_cap = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    inv = inv.join(
+        F.broadcast(df_cap.filter(F.col("df_") > 100).select("shingle")),
+        "shingle",
+        "left_anti",
+    )
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(F.broadcast(sizes.withColumnRenamed("id", "id_a")
+                               .withColumnRenamed("n_sh", "sh_a")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b")
+                          .withColumnRenamed("n_sh", "sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sh_a") + F.col("sh_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
+    """Portable minhash: the i-th hash of shingle s is ``md5(i || ':' || s)``
+    and the signature component is the lexicographic MIN of those strings.
+    String-min is engine-portable (DuckDB reproduces it exactly), and
+    collision behavior matches integer minhash for dedup purposes."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s, _i=i: F.md5(F.concat(F.lit(f"{_i}:"), s)),
+                )
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    ``n_hashes/bands`` rows per band; band key = md5 of the concatenated
+    signature slice.  One explode (bands per doc, constant fan-out) and one
+    combinable self-join on the bucket — the classic MinHash-LSH plan.  At
+    100 TB the bucket join shuffles only (band_id, bucket, id) triples."""
+    rows_per_band = n_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sig = sh.select("id", minhash_signature(F.col("shingles"), n_hashes).alias("sig"))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    return (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash64(text: Column) -> Column:
+    """64-bit simhash over whitespace tokens.
+
+    Token hash = first 15 hex chars of md5 (60 bits, portable via
+    ``conv(hex,16,10)`` / DuckDB ``CAST('0x'||hex AS BIGINT)``); bit b of the
+    simhash is the sign of Σ_tokens (±1 per token depending on bit b of the
+    token hash).  Pure Column algebra: the per-bit vote folds over a
+    ``transform`` + ``aggregate`` pair — no UDF, no shuffle."""
+    words = F.split(normalize(text), " ")
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint")
+    )
+    bit_idx = F.sequence(F.lit(0), F.lit(59))
+    # one pass over the tokens: fold a 60-wide vote vector (md5 computed
+    # exactly once per token, then 60 cheap bit tests per token)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), 60),
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_idx,
+            # PySpark's shiftright wrapper only takes a Python int; the SQL
+            # function itself accepts a Column — call it by name.
+            lambda a, b: a
+            + F.when(
+                F.call_function("shiftright", h, b.cast("int")).bitwiseAND(
+                    F.lit(1)
+                )
+                == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    bits = F.zip_with(
+        votes,
+        bit_idx,
+        lambda v, b: F.when(
+            v > 0,
+            F.call_function("shiftleft", F.lit(1).cast("bigint"), b.cast("int")),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def simhash_buckets(df: DataFrame, id_col: str, text_col: str,
+                    n_bands: int = 4) -> DataFrame:
+    """(id, simhash, band, bucket): docs sharing a 15-bit band bucket are
+    hamming-near candidates (standard simhash blocking)."""
+    bits_per_band = 60 // n_bands
+    base = df.select(F.col(id_col).alias("id"),
+                     simhash64(F.col(text_col)).alias("simhash"))
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * bits_per_band)
+            .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+            .alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    return base.select(
+        "id", "simhash", F.explode(F.array(*bands)).alias("bb")
+    ).select("id", "simhash", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
