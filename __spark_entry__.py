@@ -38,12 +38,17 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents with deterministic planted duplicates (for dedup ops)."""
+    """Documents with deterministic planted duplicates (for dedup ops).
+
+    Repartitioned to the session's parallelism: the small single-file
+    parquet otherwise yields 1-2 input splits, starving every core (real
+    100-TB inputs arrive pre-split)."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     dup = d.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
-    return d.unionByName(dup)
+    return d.unionByName(dup).repartition(
+        spark.sparkContext.defaultParallelism)
 
 
 _CORPUS_SQL = """
@@ -220,9 +225,9 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    return d.select(F.col("doc_id").alias("id"),
-                    DD.simhash64(F.col("text")).alias("simhash"))
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism)
+    return DD.simhash_table(d, "doc_id", "text")
 
 
 def q_sim_topk(spark, sf_dir):

@@ -1,0 +1,114 @@
+"""Benchmark: documents validated/sec under the full constraint suite.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE JSON line:
+{"metric": ..., "value": seconds, "unit": "sec", "queries": {...}, "sf": ...}
+
+The input is the deterministic span derivation amplified by
+$SPARK_GRAFT_REPLICATE (default 20) so the flagship measurement covers
+~100k docs / ~10M spans; throughputs (docs/sec, spans/sec) are included
+alongside per-query wall times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "20"))
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = -1.0
+
+    from pyspark.sql import functions as F
+
+    from jsonschema_rs_spark.session import get_spark
+    from jsonschema_rs_spark.compiler import compile_spec
+    from jsonschema_rs_spark.flagship import FLAGSHIP_SPEC
+    from jsonschema_rs_spark.plans.validate import (
+        partition_rollup,
+        validation_frame,
+        violations,
+    )
+    from jsonschema_rs_spark.sources.spans import derive_spans
+    import __spark_entry__ as E
+
+    spark = get_spark(app="bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    df = derive_spans(spark, sf_dir, replicate=replicate)
+    # materialize the amplified input once so timings measure the ENGINE,
+    # not the synthetic generator; 2 files per core so the scan parallelizes
+    # fully (one ~100 MB parquet would give 32 cores only 2 splits)
+    df.repartition(cpus * 2).write.mode("overwrite").parquet(
+        "/tmp/bench_spans.parquet")
+    df = spark.read.parquet("/tmp/bench_spans.parquet")
+    n_docs = df.count()
+    n_spans = df.select(F.sum(F.size("spans"))).collect()[0][0]
+    compiled = compile_spec(FLAGSHIP_SPEC, df.schema)
+
+    timings: dict[str, float] = {}
+
+    def _force(frame) -> None:
+        # noop sink: forces FULL evaluation of every column (a bare count()
+        # lets Catalyst prune computed columns and measures nothing)
+        frame.write.format("noop").mode("overwrite").save()
+
+    def timed(name: str, fn, repeat: int = 1) -> None:
+        best = None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    # warm the JVM/codegen once on a small slice
+    _force(validation_frame(df.limit(1000), compiled, mode="both"))
+
+    timed("verdicts_fast_path", lambda: _force(validation_frame(
+        df, compiled, mode="verdicts")), repeat=2)
+    timed("violations_full", lambda: _force(violations(df, compiled)),
+          repeat=2)
+    timed("partition_rollup", lambda: partition_rollup(
+        df, compiled, "part_key").collect(), repeat=2)
+
+    # representative entry queries at the raw sf (no amplification)
+    for name in ("ds_chi2_drift", "ds_ref_integrity", "txt_stats",
+                 "dedup_minhash_lsh", "dedup_simhash", "sim_topk",
+                 "kw_unique_items"):
+        fn = E.queries()[name]
+        timed(name, lambda _f=fn: _force(_f(spark, sf_dir)))
+
+    flagship_sec = timings["violations_full"]
+    out = {
+        "metric": "flagship full-suite violations wall time "
+                  f"({n_docs} docs, {n_spans} spans)",
+        "value": flagship_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs": n_docs,
+        "spans": int(n_spans),
+        "docs_per_sec": round(n_docs / flagship_sec, 1),
+        "spans_per_sec": round(n_spans / flagship_sec, 1),
+        "docs_per_sec_verdict_only": round(
+            n_docs / timings["verdicts_fast_path"], 1),
+        "cpus": cpus,
+        "replicate": replicate,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -276,15 +276,19 @@ def ks_drift(
 # skew handling
 # --------------------------------------------------------------------------
 
-def salted_repartition(df: DataFrame, key_col: str, salt_buckets: int = 32) -> DataFrame:
+def salted_repartition(df: DataFrame, key_col: str, salt_buckets: int = 32,
+                       num_partitions: int | None = None) -> DataFrame:
     """Explicit salting for hot keys (north rule): append a deterministic
     salt derived from the WHOLE row (not the key — the point is to split one
     hot key across reducers) so a hot ``part_key`` spreads over
     ``salt_buckets`` reducers.  Use before heavy per-partition work when AQE
     skew splitting isn't available (e.g. non-join stages)."""
     salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
-    return (
-        df.withColumn("_salt", salt)
-        .repartition(F.col(key_col), F.col("_salt"))
-        .drop("_salt")
-    )
+    salted = df.withColumn("_salt", salt)
+    # explicit partition count: AQE coalescing respects user-specified
+    # repartition numbers, so the hot key genuinely spreads
+    if num_partitions is not None:
+        out = salted.repartition(num_partitions, F.col(key_col), F.col("_salt"))
+    else:
+        out = salted.repartition(F.col(key_col), F.col("_salt"))
+    return out.drop("_salt")

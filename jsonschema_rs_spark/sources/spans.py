@@ -66,6 +66,12 @@ def derive_spans(spark: SparkSession, sf_dir: str,
     each source doc is cloned with shifted ids (doc_id stays unique).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the single-file parquet arrives as 1-2 splits; spread the (cheap) raw
+    # text across all cores before the span construction (real 100-TB inputs
+    # are pre-split, so this shuffle exists only for the synthetic source)
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par // 2:
+        docs = docs.repartition(par)
     if replicate > 1:
         docs = docs.crossJoin(
             spark.range(replicate).select(F.col("id").alias("rep"))

@@ -1,0 +1,223 @@
+"""Pure-Python reference oracle implementing the keyword semantics directly
+on dicts (the reference's document-at-a-time model, re-implemented minimally
+for test comparison — see jsonschema-rs ``keywords/*``).
+
+Returns the same (constraint_id, span_index, observed) triples as the Spark
+engine, so fixture replay can assert exact equality independent of both
+Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from typing import Any
+
+SPAN_FIELDS = ("kind", "text", "media_ref", "offset")
+
+
+def _obs(v: Any) -> str:
+    if isinstance(v, dict):
+        return json.dumps({k: x for k, x in v.items() if x is not None},
+                          separators=(",", ":"), ensure_ascii=False)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _is_valid(schema: Any, value: Any, is_root: bool = False) -> bool:
+    return not _errors(schema, value, (), is_root)
+
+
+def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list:
+    """List of (constraint_id_segments, observed) for a value vs schema.
+    ``value is None`` ≡ absent ⇒ passes everything (callers handle required).
+    """
+    out: list = []
+    if schema is True or schema == {}:
+        return out
+    if schema is False:
+        if value is not None:
+            out.append((path + ("false",), "schema is false"))
+        return out
+    if value is None and not is_root:
+        return out
+
+    def fail(*segs, obs=None):
+        out.append((path + segs, _obs(value if obs is None else obs)))
+
+    for kw, sval in schema.items():
+        if kw == "type":
+            wanted = sval if isinstance(sval, list) else [sval]
+            ok = False
+            for t in wanted:
+                if t == "null":
+                    ok |= value is None
+                elif t == "string":
+                    ok |= isinstance(value, str)
+                elif t == "boolean":
+                    ok |= isinstance(value, bool)
+                elif t == "integer":
+                    ok |= (isinstance(value, int) and not isinstance(value, bool)) or (
+                        isinstance(value, float) and value == math.floor(value))
+                elif t == "number":
+                    ok |= isinstance(value, (int, float)) and not isinstance(value, bool)
+                elif t == "array":
+                    ok |= isinstance(value, list)
+                elif t == "object":
+                    ok |= isinstance(value, dict)
+            if not ok:
+                fail("type")
+        elif kw == "enum":
+            if value not in sval:
+                fail("enum")
+        elif kw == "const":
+            if value != sval:
+                fail("const")
+        elif kw == "minimum":
+            if isinstance(value, (int, float)) and value < sval:
+                fail("minimum")
+        elif kw == "maximum":
+            if isinstance(value, (int, float)) and value > sval:
+                fail("maximum")
+        elif kw == "exclusiveMinimum":
+            if isinstance(value, (int, float)) and value <= sval:
+                fail("exclusiveMinimum")
+        elif kw == "exclusiveMaximum":
+            if isinstance(value, (int, float)) and value >= sval:
+                fail("exclusiveMaximum")
+        elif kw == "multipleOf":
+            if isinstance(value, (int, float)):
+                r = value / sval
+                if abs(r - round(r)) >= 1e-9:
+                    fail("multipleOf")
+        elif kw == "minLength":
+            if isinstance(value, str) and len(value) < sval:
+                fail("minLength")
+        elif kw == "maxLength":
+            if isinstance(value, str) and len(value) > sval:
+                fail("maxLength")
+        elif kw == "pattern":
+            if isinstance(value, str) and not re.search(sval, value):
+                fail("pattern")
+        elif kw == "format":
+            if isinstance(value, str) and not _check_format(sval, value):
+                fail("format")
+        elif kw == "properties":
+            if isinstance(value, dict):
+                for name, sub in sval.items():
+                    out.extend(_errors(sub, value.get(name), path + (name,)))
+        elif kw == "required":
+            if isinstance(value, dict):
+                for name in sval:
+                    if value.get(name) is None:
+                        out.append((path + ("required", name), "missing"))
+        elif kw == "dependentRequired":
+            if isinstance(value, dict):
+                for name, reqs in sval.items():
+                    if value.get(name) is not None and any(
+                        value.get(r) is None for r in reqs
+                    ):
+                        out.append(
+                            (path + ("dependentRequired", name), "missing"))
+        elif kw == "minItems":
+            if isinstance(value, list) and len(value) < sval:
+                fail("minItems", obs=len(value))
+        elif kw == "maxItems":
+            if isinstance(value, list) and len(value) > sval:
+                fail("maxItems", obs=len(value))
+        elif kw == "uniqueItems" and sval is True:
+            if isinstance(value, list):
+                seen = [json.dumps(v, sort_keys=True) for v in value]
+                d = len(seen) - len(set(seen))
+                if d:
+                    fail("uniqueItems", obs=d)
+        elif kw == "contains":
+            if isinstance(value, list):
+                cnt = sum(1 for v in value if _is_valid(sval, v))
+                min_c = schema.get("minContains", 1)
+                max_c = schema.get("maxContains")
+                cid = ("contains" if min_c == 1 and "minContains" not in schema
+                       else "minContains")
+                if cnt < min_c:
+                    fail(cid, obs=cnt)
+                if max_c is not None and cnt > max_c:
+                    fail("maxContains", obs=cnt)
+        elif kw == "items":
+            if isinstance(value, list) and isinstance(sval, (dict, bool)):
+                skip = len(schema.get("prefixItems", []))
+                for i, v in enumerate(value):
+                    if i >= skip:
+                        out.extend(
+                            _tag_index(_errors(sval, v, path + ("items",)), i))
+        elif kw == "prefixItems":
+            if isinstance(value, list):
+                for i, sub in enumerate(sval):
+                    if i < len(value):
+                        out.extend(_tag_index(
+                            _errors(sub, value[i],
+                                    path + ("prefixItems", str(i))), i))
+        elif kw == "allOf":
+            for i, sub in enumerate(sval):
+                out.extend(_errors(sub, value, path + ("allOf", str(i))))
+        elif kw == "anyOf":
+            if not any(_is_valid(sub, value) for sub in sval):
+                fail("anyOf")
+        elif kw == "oneOf":
+            if sum(1 for sub in sval if _is_valid(sub, value)) != 1:
+                fail("oneOf")
+        elif kw == "not":
+            if _is_valid(sval, value):
+                fail("not")
+        elif kw == "if":
+            cond = _is_valid(sval, value)
+            if cond and "then" in schema:
+                out.extend(_errors(schema["then"], value, path + ("then",)))
+            if not cond and "else" in schema:
+                out.extend(_errors(schema["else"], value, path + ("else",)))
+    return out
+
+
+def _tag_index(errs: list, i: int) -> list:
+    return [(segs, obs, i) for (segs, obs) in errs]
+
+
+def _check_format(fmt: str, v: str) -> bool:
+    import ipaddress
+    from datetime import date
+
+    if fmt == "ipv4":
+        try:
+            ipaddress.IPv4Address(v)
+            return True
+        except ValueError:
+            return False
+    if fmt == "date":
+        try:
+            date.fromisoformat(v)
+            return len(v) == 10
+        except ValueError:
+            return False
+    if fmt == "uuid":
+        return bool(re.fullmatch(
+            r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+            r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}", v))
+    return True
+
+
+def validate_doc(schema: dict, data: dict):
+    """(valid, violations) for one document; violations are
+    (doc_id, constraint_id, span_index, observed) matching the engine."""
+    from jsonschema_rs_spark.spec import resolve_refs
+
+    schema = resolve_refs(schema)
+    raw = _errors(schema, data, (), is_root=True)
+    viols = []
+    for item in raw:
+        if len(item) == 3:
+            segs, obs, idx = item
+        else:
+            (segs, obs), idx = item, None
+        viols.append((data["doc_id"], "/".join(segs), idx, str(obs)))
+    return (not viols), sorted(viols, key=lambda t: (t[1], t[2] or -1))

@@ -1,0 +1,112 @@
+"""Compiler unit tests: spec validation, $ref handling, custom extension
+surface, map applicators, verdict/violations agreement."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from jsonschema_rs_spark.compiler import EngineOptions, compile_spec
+from jsonschema_rs_spark.plans.validate import validation_frame, verdicts
+from jsonschema_rs_spark.spec import SpecError, resolve_refs
+from jsonschema_rs_spark.sources.spans import SPAN_TABLE_SCHEMA
+
+
+def test_recursive_ref_rejected():
+    schema = {"$defs": {"a": {"properties": {"spans": {"$ref": "#/$defs/a"}}}},
+              "$ref": "#/$defs/a"}
+    with pytest.raises(SpecError, match="nesting deeper"):
+        resolve_refs(schema)
+
+
+def test_unresolvable_ref():
+    with pytest.raises(SpecError, match="unresolvable"):
+        resolve_refs({"$ref": "#/$defs/missing"})
+
+
+def test_remote_ref_rejected():
+    with pytest.raises(SpecError, match="local"):
+        resolve_refs({"$ref": "https://example.com/x.json"})
+
+
+@pytest.mark.parametrize("bad", [
+    {"minLength": -1},
+    {"minimum": "zero"},
+    {"required": "kind"},
+    {"allOf": []},
+    {"pattern": 5},
+])
+def test_spec_validation_rejects(bad):
+    with pytest.raises(SpecError):
+        compile_spec({"properties": {"doc_id": bad}}, SPAN_TABLE_SCHEMA)
+
+
+def test_unknown_field_rejected():
+    with pytest.raises(SpecError, match="not in the"):
+        compile_spec({"properties": {"nope": {"type": "string"}}},
+                     SPAN_TABLE_SCHEMA)
+
+
+def test_unknown_keyword_is_annotation():
+    # reference treats unknown keywords as annotations (compiler.rs:413-416)
+    c = compile_spec({"properties": {"doc_id": {"x-meta": 1}}},
+                     SPAN_TABLE_SCHEMA)
+    assert c.constraints == []
+
+
+def test_custom_keyword_and_format(spark):
+    def even_factory(value, dtype):
+        pred = lambda x: (F.length(x) % 2 == 0) == F.lit(value)
+        obs = lambda x: x.cast("string")
+        return pred, obs
+
+    opts = EngineOptions(
+        custom_keywords={"evenLength": even_factory},
+        custom_formats={"shouty": lambda c: c == F.upper(c)},
+    )
+    spec = {"properties": {"doc_id": {"evenLength": True, "format": "shouty"}}}
+    df = spark.createDataFrame(
+        [("ABCD",), ("abc",)], "doc_id string")
+    c = compile_spec(spec, df.schema, opts)
+    assert {x.constraint_id for x in c.constraints} == {
+        "doc_id/evenLength", "doc_id/format"}
+    got = {r["doc_id"]: r["valid"] for r in verdicts(df, c).collect()}
+    assert got == {"ABCD": True, "abc": False}
+
+
+def test_map_applicators(spark):
+    df = spark.createDataFrame(
+        [("a", {"k1": 1, "k2": 50}), ("b", {"bad key": 2}),
+         ("c", {"k1": 1, "k2": 2, "k3": 3, "k4": 4})],
+        "doc_id string, props map<string,int>")
+    spec = {"properties": {"props": {
+        "maxProperties": 3,
+        "propertyNames": {"pattern": "^k[0-9]$"},
+        "patternProperties": {"^k2$": {"maximum": 10}},
+        "additionalProperties": {"minimum": 0},
+    }}}
+    c = compile_spec(spec, df.schema)
+    vf = validation_frame(df, c, mode="both")
+    rows = {r["doc_id"]: r for r in vf.collect()}
+    assert rows["a"]["valid"] is False  # k2=50 > 10
+    ids_a = {v["constraint_id"] for v in rows["a"]["violations"]}
+    assert "props/patternProperties/^k2$" in ids_a
+    assert rows["b"]["valid"] is False  # bad key name
+    ids_b = {v["constraint_id"] for v in rows["b"]["violations"]}
+    assert "props/propertyNames" in ids_b
+    assert rows["c"]["valid"] is False  # 4 props > 3
+    ids_c = {v["constraint_id"] for v in rows["c"]["violations"]}
+    assert "props/maxProperties" in ids_c
+
+
+def test_verdict_fastpath_agrees_with_violations(spark):
+    from jsonschema_rs_spark.flagship import FLAGSHIP_SPEC
+    from jsonschema_rs_spark.sources.spans import synth_spans
+
+    df = synth_spans(spark, 300).cache()
+    c = compile_spec(FLAGSHIP_SPEC, df.schema)
+    both = validation_frame(df, c, mode="both")
+    fast = validation_frame(df, c, mode="verdicts")
+    a = {(r["doc_id"], r["valid"]) for r in both.collect()}
+    b = {(r["doc_id"], r["valid"]) for r in fast.collect()}
+    assert a == b
+    df.unpersist()

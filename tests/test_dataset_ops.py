@@ -1,0 +1,106 @@
+"""Dataset-level constraint tests (FIXTURES.md §5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_rs_spark.operators import dataset as DS
+from jsonschema_rs_spark.sources.spans import flat_spans, synth_rows
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_uniqueness_planted_dupes(spark):
+    rows, expected = synth_rows(2000, seed=42)
+    df = spark.createDataFrame(
+        [(r["doc_id"],) for r in rows], "doc_id string")
+    out = DS.uniqueness_violations(df, ["doc_id"])
+    got = {r["doc_id"] for r in out.collect()}
+    want = {d for d, _ in expected["dup_doc_id"]}
+    assert got == want
+
+
+def test_referential_integrity_exact_dangling_set(spark):
+    fs = flat_spans(spark, SF).filter(F.col("media_ref").isNotNull()).cache()
+    catalog = fs.select("media_ref").distinct().filter(
+        F.substring("media_ref", 9, 12).cast("int") % 16 != 0)
+    out = DS.referential_violations(fs, "media_ref", catalog, "media_ref")
+    got = {r["media_ref"] for r in out.collect()}
+    want = {
+        r["media_ref"]
+        for r in fs.select("media_ref").distinct().collect()
+        if int(r["media_ref"][8:]) % 16 == 0
+    }
+    assert got == want
+    fs.unpersist()
+
+
+def test_hll_cardinality_within_5pct(spark):
+    fs = flat_spans(spark, SF)
+    exact = fs.select(F.countDistinct("media_ref")).collect()[0][0]
+    approx = fs.agg(F.approx_count_distinct("media_ref")).collect()[0][0]
+    assert abs(approx - exact) / exact <= 0.05
+
+    # mergeable sketch state: per-partition sketches union to the global
+    sk = DS.hll_sketches(fs, ["media_ref"], "part_key")
+    merged = DS.merge_hll(sk, ["media_ref"]).collect()[0][0]
+    assert abs(merged - exact) / exact <= 0.05
+
+
+def test_chi2_flags_planted_drift(spark):
+    fs = flat_spans(spark, SF)
+    # plant drift: flip every non-text kind to 'image' inside partition 3
+    drifted = fs.withColumn(
+        "kind",
+        F.when((F.col("part_key") == 3) & (F.col("kind") != "text"),
+               F.lit("image")).otherwise(F.col("kind")),
+    )
+    out = DS.chi_square_drift(drifted, "kind", "part_key", threshold=27.0)
+    rows = {r["part_key"]: r for r in out.collect()}
+    assert rows[3]["drifted"]
+    n_flagged = sum(1 for r in rows.values() if r["drifted"])
+    assert n_flagged <= 3  # only the planted partition (and near-noise)
+
+
+def test_ks_flags_planted_shift(spark):
+    fs = flat_spans(spark, SF)
+    shifted = fs.withColumn(
+        "offset",
+        F.when(F.col("part_key") == 5, F.col("offset") * 3 + 500)
+        .otherwise(F.col("offset")),
+    )
+    out = DS.ks_drift(shifted, "offset", "part_key", threshold=0.15)
+    rows = {r["part_key"]: r for r in out.collect()}
+    assert rows[5]["drifted"]
+    assert sum(1 for r in rows.values() if r["drifted"]) <= 3
+
+
+def test_column_stats_verdicts(spark):
+    fs = flat_spans(spark, SF)
+    cons = [
+        DS.ColumnStatsConstraint("offset", min_value=0),   # planted negatives
+        DS.ColumnStatsConstraint("text", max_null_rate=0.0),  # media spans
+        DS.ColumnStatsConstraint("kind", max_distinct=2),  # 4 kinds observed
+    ]
+    out = DS.column_stats_verdicts(fs, cons, "part_key")
+    ids = {r["constraint_id"] for r in out.collect()}
+    assert "dataset/offset/min" in ids
+    assert "dataset/text/null_rate" in ids
+    assert "dataset/kind/max_cardinality" in ids
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    rows, _ = synth_rows(4000, seed=1)  # hot part 0 (~25% of docs)
+    df = spark.createDataFrame(
+        [(r["doc_id"], r["part_key"]) for r in rows],
+        "doc_id string, part_key int",
+    )
+    salted = DS.salted_repartition(df, "part_key", salt_buckets=8,
+                                   num_partitions=8)
+    sizes = (
+        salted.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().collect()
+    )
+    counts = [r["count"] for r in sizes]
+    # hot key alone is ~1000 rows; with salting no physical partition should
+    # hold the whole hot key
+    assert max(counts) < 700

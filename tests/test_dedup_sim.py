@@ -1,0 +1,90 @@
+"""Dedup + similarity operator tests."""
+
+from pyspark.sql import functions as F
+
+from jsonschema_rs_spark.operators import dedup as DD
+from jsonschema_rs_spark.operators import similarity as SIM
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return d.unionByName(dup), {int(r[0]) for r in dup.select("doc_id").collect()}
+
+
+def test_exact_dedup_removes_planted(spark):
+    corpus, planted = _corpus(spark)
+    total = corpus.count()
+    kept = DD.dedup_exact(corpus, "doc_id", "text")
+    # every planted dup removed; keeper is the min id (the original)
+    assert kept.count() == total - len(planted)
+    kept_ids = {int(r[0]) for r in kept.select("doc_id").collect()}
+    assert not (kept_ids & planted)
+
+
+def test_minhash_lsh_finds_exact_dups(spark):
+    corpus, planted = _corpus(spark)
+    pairs = DD.minhash_lsh_pairs(corpus, "doc_id", "text")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for pid in planted:
+        assert (pid - 1_000_000, pid) in got  # identical docs always collide
+
+
+def test_ngram_jaccard_exact_dups_score_1(spark):
+    corpus, planted = _corpus(spark)
+    pairs = DD.ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.99)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    hits = [p for p in planted if (p - 1_000_000, p) in got]
+    # docs with >=3 words all produce shingles and match at jaccard 1.0
+    assert len(hits) >= len(planted) - 2
+    assert all(abs(got[(p - 1_000_000, p)] - 1.0) < 1e-9 for p in hits)
+
+
+def test_simhash_identical_docs_equal_hash(spark):
+    corpus, planted = _corpus(spark)
+    h = corpus.select("doc_id", DD.simhash64(F.col("text")).alias("s"))
+    m = {int(r["doc_id"]): r["s"] for r in h.collect()}
+    for pid in planted:
+        assert m[pid] == m[pid - 1_000_000]
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = SIM.cosine_topk(emb, q, k=5)
+    approx = SIM.lsh_ann_topk(emb, q, k=5, n_planes=12, bands=6)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # rank-1 self match must always survive (identical vector, all bits equal)
+    for qid in range(10):
+        assert (qid, qid) in a
+
+
+def test_embedding_near_duplicates(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # plant a near-identical copy of vec 0
+    clone = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(999_999).alias("vec_id"), "embedding", "label")
+    out = SIM.near_duplicates_cosine(emb.unionByName(clone), threshold=0.99)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 999_999) in pairs
+
+
+def test_multimodal_feature_plumbing(spark):
+    from jsonschema_rs_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [("media://1", "image"), ("media://2", "audio")],
+        "media_ref string, media_kind string",
+    )
+    feats = MM.extract_media_features(MM.attach_fake_payload(df))
+    rows = {r["media_ref"]: r for r in feats.collect()}
+    assert rows["media://1"]["n_bytes"] == len("media://1") * 8
+    assert len(rows["media://1"]["feature"]) == 8
+    assert rows["media://1"]["header_hex"] == "media://1".encode()[:4].hex()
