@@ -104,6 +104,19 @@ def q_kw_min_length(spark, sf_dir):
         {"items": {"properties": {"text": {"minLength": 4}}}}))
 
 
+def q_kw_pattern(spark, sf_dir):
+    return _kw_violations(spark, sf_dir, _span_spec(
+        {"items": {"properties": {"media_ref": {"pattern": "^media://[0-3]"}}}}))
+
+
+def q_kw_prefix_tuple(spark, sf_dir):
+    return _kw_violations(spark, sf_dir, _span_spec(
+        {"prefixItems": [
+            {"properties": {"kind": {"const": "text"}}},
+            {"properties": {"offset": {"maximum": 0}}},
+        ]}))
+
+
 def q_kw_items_bounds(spark, sf_dir):
     return _kw_violations(spark, sf_dir, _span_spec(
         {"minItems": 5, "maxItems": 60}))
@@ -273,6 +286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_minimum": q_kw_minimum,
         "kw_multiple_of": q_kw_multiple_of,
         "kw_min_length": q_kw_min_length,
+        "kw_pattern": q_kw_pattern,
+        "kw_prefix_tuple": q_kw_prefix_tuple,
         "kw_items_bounds": q_kw_items_bounds,
         "kw_contains": q_kw_contains,
         "kw_unique_items": q_kw_unique_items,
@@ -378,6 +393,21 @@ FROM spans WHERE "offset" % 8 <> 0
 SELECT doc_id, 'spans/items/text/minLength' AS constraint_id, span_index,
        text AS observed
 FROM spans WHERE text IS NOT NULL AND len(text) < 4
+""",
+        "kw_pattern": SPANS_CTE_SQL + """
+SELECT doc_id, 'spans/items/media_ref/pattern' AS constraint_id, span_index,
+       media_ref AS observed
+FROM spans
+WHERE media_ref IS NOT NULL AND NOT regexp_matches(media_ref, '^media://[0-3]')
+""",
+        "kw_prefix_tuple": SPANS_CTE_SQL + """
+SELECT doc_id, 'spans/prefixItems/0/kind/const' AS constraint_id, span_index,
+       kind AS observed
+FROM spans WHERE span_index = 0 AND kind <> 'text'
+UNION ALL
+SELECT doc_id, 'spans/prefixItems/1/offset/maximum', span_index,
+       CAST("offset" AS VARCHAR)
+FROM spans WHERE span_index = 1 AND "offset" > 0
 """,
         "kw_items_bounds": """
 WITH d AS (

@@ -96,7 +96,7 @@ def run_resumable_validation(
     Driver-side loop cost is O(#logical partitions), which is small by
     design (the manifest is per Iceberg partition, not per task).
     """
-    from jsonschema_rs_spark.plans.validate import validation_frame
+    from jsonschema_rs_spark.plans.validate import partition_rollup, violations
 
     done = finished_partitions(manifest_dir)
     parts = [
@@ -105,47 +105,40 @@ def run_resumable_validation(
         if r[0] not in done
     ]
     for pk in sorted(parts):
+        # partition-prunable predicate: on an Iceberg/parquet table
+        # partitioned by part_col this reads ONLY partition pk
         pdf = df.filter(F.col(part_col) == pk)
-        vf = validation_frame(pdf, compiled, id_cols=id_cols, mode="both").cache()
-        try:
-            stats = vf.agg(
-                F.count(F.lit(1)).alias("docs"),
-                F.sum(F.col("valid").cast("long")).alias("valid_docs"),
-                F.sum(F.size("violations").cast("long")).alias("violation_rows"),
+        viol = violations(pdf, compiled, id_cols=id_cols)
+        viol.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"part={pk}")
+        )
+        roll = partition_rollup(pdf, compiled, part_col,
+                                id_cols=id_cols).collect()
+        stats = (
+            roll[0]
+            if roll
+            else {"docs": 0, "valid_docs": 0, "violation_rows": 0}
+        )
+        sketches = None
+        if sketch_cols:
+            srow = pdf.agg(
+                *[F.hll_sketch_agg(F.col(c)).alias(c) for c in sketch_cols]
             ).collect()[0]
-            viol = vf.filter(F.size("violations") > 0).select(
-                *id_cols, F.explode("violations").alias("v")
-            ).select(
-                *id_cols,
-                F.col("v.constraint_id").alias("constraint_id"),
-                F.col("v.span_index").alias("span_index"),
-                F.col("v.observed").alias("observed"),
-            )
-            viol.write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"part={pk}")
-            )
-            sketches = None
-            if sketch_cols:
-                srow = pdf.agg(
-                    *[F.hll_sketch_agg(F.col(c)).alias(c) for c in sketch_cols]
-                ).collect()[0]
-                sketches = {
-                    c: base64.b64encode(bytes(srow[c])).decode()
-                    for c in sketch_cols
-                }
-            entry = PartitionEntry(
-                part_key=pk,
-                docs=stats["docs"],
-                valid_docs=stats["valid_docs"] or 0,
-                violation_rows=stats["violation_rows"] or 0,
-                passed=(stats["valid_docs"] or 0) == stats["docs"],
-                lineage=lineage,
-                sketches_b64=sketches,
-            )
-            write_entry(manifest_dir, entry)
-            done[pk] = entry
-        finally:
-            vf.unpersist()
+            sketches = {
+                c: base64.b64encode(bytes(srow[c])).decode()
+                for c in sketch_cols
+            }
+        entry = PartitionEntry(
+            part_key=pk,
+            docs=stats["docs"],
+            valid_docs=stats["valid_docs"] or 0,
+            violation_rows=stats["violation_rows"] or 0,
+            passed=(stats["valid_docs"] or 0) == stats["docs"],
+            lineage=lineage,
+            sketches_b64=sketches,
+        )
+        write_entry(manifest_dir, entry)
+        done[pk] = entry
     return done
 
 

@@ -316,6 +316,70 @@ def _lower_pattern(pat: str) -> Callable[[Column], Column]:
     return lambda x: _re_search(x)
 
 
+def _claimed_props(schema: Any) -> tuple[set, list, bool]:
+    """Static resolution of which member names are 'evaluated' by this
+    schema's in-place applicators — the compile-time replacement for the
+    reference's runtime annotation tracking (``unevaluated_properties.rs:
+    41-752``).  Approximation (documented): branch applicators claim their
+    members regardless of branch outcome, and ``contains`` claims nothing.
+    Returns (names, patterns, all_claimed)."""
+    names: set = set()
+    pats: list = []
+    all_claimed = False
+
+    def walk(s):
+        nonlocal all_claimed
+        if not isinstance(s, dict):
+            return
+        names.update(s.get("properties", {}).keys())
+        pats.extend(s.get("patternProperties", {}).keys())
+        if isinstance(s.get("additionalProperties"), (dict, bool)):
+            all_claimed = True
+        if isinstance(s.get("unevaluatedProperties"), (dict, bool)) and s is not schema:
+            all_claimed = True
+        for key in ("if", "then", "else", "not"):
+            walk(s.get(key))
+        for key in ("allOf", "anyOf", "oneOf"):
+            for sub in s.get(key, []) or []:
+                walk(sub)
+        for sub in (s.get("dependentSchemas") or {}).values():
+            walk(sub)
+
+    walk(schema)
+    return names, pats, all_claimed
+
+
+def _claimed_positions(schema: Any) -> tuple[int, bool]:
+    """Static positions 'evaluated' for unevaluatedItems: max prefixItems
+    length across in-place applicators; object-form items claims all."""
+    n_prefix = 0
+    all_claimed = False
+
+    def walk(s):
+        nonlocal n_prefix, all_claimed
+        if not isinstance(s, dict):
+            return
+        it = s.get("items")
+        if isinstance(it, (dict, bool)):
+            all_claimed = True
+        if isinstance(it, list):
+            n_prefix = max(n_prefix, len(it))
+        if isinstance(s.get("prefixItems"), list):
+            n_prefix = max(n_prefix, len(s["prefixItems"]))
+            if isinstance(s.get("items"), (dict, bool)):
+                all_claimed = True
+        if isinstance(s.get("additionalItems"), (dict, bool)):
+            all_claimed = True
+        for key in ("if", "then", "else"):
+            walk(s.get(key))
+        for key in ("allOf", "anyOf", "oneOf"):
+            for sub in s.get(key, []) or []:
+                walk(sub)
+
+    walk(schema)
+    return n_prefix, all_claimed
+
+
 # --------------------------------------------------------------------------
 # the recursive lowerer
 # --------------------------------------------------------------------------
@@ -373,13 +437,22 @@ class Lowerer:
         if "const" in schema and "const" not in handled_custom:
             emit(ctx.cid("const"), self._lift(_json_eq(dt, schema["const"])),
                  self._lift(obs))
-        for kw, op in (("minimum", "__ge__"), ("maximum", "__le__"),
-                       ("exclusiveMinimum", "__gt__"),
-                       ("exclusiveMaximum", "__lt__")):
+        for kw, op, strict_op in (
+            ("minimum", "__ge__", "__gt__"),
+            ("maximum", "__le__", "__lt__"),
+            ("exclusiveMinimum", "__gt__", "__gt__"),
+            ("exclusiveMaximum", "__lt__", "__lt__"),
+        ):
             if kw in schema and kw not in handled_custom:
                 v = schema[kw]
-                if isinstance(v, bool):  # draft-4 boolean form handled by caller
-                    continue
+                if isinstance(v, bool):
+                    continue  # draft-4 boolean exclusive flag, handled below
+                # draft-4 legacy: boolean exclusiveMin/Max flips min/max to
+                # strict (reference keywords/legacy/maximum_draft_4.rs)
+                if kw == "minimum" and schema.get("exclusiveMinimum") is True:
+                    op = strict_op
+                if kw == "maximum" and schema.get("exclusiveMaximum") is True:
+                    op = strict_op
                 if _is_numeric(dt):
                     emit(ctx.cid(kw),
                          self._lift(lambda x, _v=v, _op=op: getattr(x, _op)(F.lit(_v))),
@@ -597,6 +670,22 @@ class Lowerer:
         # additionalProperties on a typed struct is enforced by the schema
         # itself (closed world) — nothing to emit. (MapType handled below.)
 
+        # unevaluatedProperties — static resolution on a typed struct: field
+        # names are known at compile time, so the "unevaluated" set is just
+        # the fields no in-place applicator claims (reference tracks this at
+        # runtime via annotations, ``unevaluated_properties.rs:41-752``).
+        if isinstance(schema.get("unevaluatedProperties"), (dict, bool)):
+            sub = schema["unevaluatedProperties"]
+            names, pats, all_claimed = _claimed_props(schema)
+            if not all_claimed:
+                compiled_pats = [_re.compile(p) for p in pats]
+                for fname in fields:
+                    if fname in names:
+                        continue
+                    if any(rx.search(fname) for rx in compiled_pats):
+                        continue
+                    descend(fname, sub, ("unevaluatedProperties", fname))
+
     # ------------------------------------------------------------------
     def _lower_map(self, schema, ctx: _Ctx, out, valids, emit) -> None:
         dt: MapType = ctx.dtype
@@ -664,10 +753,22 @@ class Lowerer:
         # additionalProperties — reference 8 fused variants
         # (``additional_properties.rs:79-864``); here a single forall whose
         # claim-set folds properties + patternProperties.
+        # unevaluatedProperties on a map lowers the same way but with the
+        # claim-set resolved statically across in-place applicators.
+        ap_kw = None
         if "additionalProperties" in schema:
-            ap = schema["additionalProperties"]
+            ap_kw = "additionalProperties"
             named = tuple(schema.get("properties", {}))
             pats = tuple(p for p, _ in pat_pairs)
+        elif isinstance(schema.get("unevaluatedProperties"), (dict, bool)):
+            ap_kw = "unevaluatedProperties"
+            c_names, c_pats, all_claimed = _claimed_props(schema)
+            if all_claimed:
+                ap_kw = None
+            named = tuple(c_names)
+            pats = tuple(ecma_to_java(p) or p for p in c_pats)
+        if ap_kw is not None:
+            ap = schema[ap_kw]
 
             def claimed(k: Column) -> Column:
                 c = F.lit(False)
@@ -678,17 +779,17 @@ class Lowerer:
                 return c
 
             if ap is False:
-                emit(ctx.cid("additionalProperties"),
+                emit(ctx.cid(ap_kw),
                      self._lift(lambda x: F.forall(key_of(x), claimed)),
                      self._lift(lambda x: F.to_json(
                          F.filter(key_of(x), lambda k: ~claimed(k)))))
             elif isinstance(ap, dict) and ap:
                 lowered = self.lower(
                     ap, _Ctx(dtype=dt.valueType,
-                             path=ctx.path + ("additionalProperties",),
+                             path=ctx.path + (ap_kw,),
                              scope=ctx.scope, elementable=False, array=ctx.array,
                              array_key=ctx.array_key, options=ctx.options))
-                emit(ctx.cid("additionalProperties"),
+                emit(ctx.cid(ap_kw),
                      self._lift(lambda x, _v=lowered.valid: F.forall(
                          F.map_entries(x),
                          lambda e: claimed(e.getField("key"))
@@ -761,6 +862,18 @@ class Lowerer:
             # object-form items — reference ``keywords/items.rs:186-206``
             self._emit_items(schema["items"], ctx, elem_dt, out, valids,
                              path_suffix=("items",), index_gate=None)
+
+        # unevaluatedItems — static resolution (reference tracks evaluated
+        # positions via runtime annotations, ``unevaluated_items.rs``): the
+        # unclaimed positions are everything past the largest static prefix,
+        # unless an object-form items/additionalItems claims all.
+        if isinstance(schema.get("unevaluatedItems"), (dict, bool)):
+            n_prefix, all_claimed = _claimed_positions(schema)
+            if not all_claimed:
+                self._emit_items(
+                    schema["unevaluatedItems"], ctx, elem_dt, out, valids,
+                    path_suffix=("unevaluatedItems",),
+                    index_gate=("ge", n_prefix) if n_prefix else None)
 
     def _lower_element_valid(self, sub, elem_dt, ctx: _Ctx, suffix) -> Callable:
         lowered = self.lower(sub, _Ctx(

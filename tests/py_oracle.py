@@ -76,15 +76,21 @@ def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list
             if value != sval:
                 fail("const")
         elif kw == "minimum":
-            if isinstance(value, (int, float)) and value < sval:
+            strict = schema.get("exclusiveMinimum") is True  # draft-4 form
+            if isinstance(value, (int, float)) and (
+                value <= sval if strict else value < sval
+            ):
                 fail("minimum")
         elif kw == "maximum":
-            if isinstance(value, (int, float)) and value > sval:
+            strict = schema.get("exclusiveMaximum") is True
+            if isinstance(value, (int, float)) and (
+                value >= sval if strict else value > sval
+            ):
                 fail("maximum")
-        elif kw == "exclusiveMinimum":
+        elif kw == "exclusiveMinimum" and not isinstance(sval, bool):
             if isinstance(value, (int, float)) and value <= sval:
                 fail("exclusiveMinimum")
-        elif kw == "exclusiveMaximum":
+        elif kw == "exclusiveMaximum" and not isinstance(sval, bool):
             if isinstance(value, (int, float)) and value >= sval:
                 fail("exclusiveMaximum")
         elif kw == "multipleOf":
@@ -170,6 +176,28 @@ def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list
         elif kw == "not":
             if _is_valid(sval, value):
                 fail("not")
+        elif kw == "unevaluatedProperties":
+            if isinstance(value, dict) and isinstance(sval, (dict, bool)):
+                from jsonschema_rs_spark.compiler import _claimed_props
+
+                names, pats, all_claimed = _claimed_props(schema)
+                if not all_claimed:
+                    crx = [re.compile(p) for p in pats]
+                    for name, v in value.items():
+                        if name in names or any(r.search(name) for r in crx):
+                            continue
+                        out.extend(_errors(
+                            sval, v, path + ("unevaluatedProperties", name)))
+        elif kw == "unevaluatedItems":
+            if isinstance(value, list) and isinstance(sval, (dict, bool)):
+                from jsonschema_rs_spark.compiler import _claimed_positions
+
+                n_prefix, all_claimed = _claimed_positions(schema)
+                if not all_claimed:
+                    for i, v in enumerate(value):
+                        if i >= n_prefix:
+                            out.extend(_tag_index(_errors(
+                                sval, v, path + ("unevaluatedItems",)), i))
         elif kw == "if":
             cond = _is_valid(sval, value)
             if cond and "then" in schema:
