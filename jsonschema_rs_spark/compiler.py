@@ -80,6 +80,15 @@ class CompiledConstraint:
     # element scope only: doc-root -> array Column
     array: Optional[Callable[[Column], Column]] = None
     array_key: Optional[tuple[str, ...]] = None  # grouping key for fusion
+    # set when pred wraps an Arrow pandas UDF over a string value: the plain
+    # python element-level check.  Spark bans Python UDFs inside HOF lambdas,
+    # so HOF-based plans stage `adapter(transform(arr, observed))` as a
+    # separate projection (planner extracts it to ArrowEvalPython) and the
+    # lambda reads the result by index.  The exploded plans need no staging.
+    py_fn: Optional[Callable] = None
+    # positional gate folded into pred by tuple forms; mirrored here so the
+    # staged-UDF lookup path can re-apply it ("eq"/"ge", n)
+    index_gate: Optional[tuple] = None
 
 
 @dataclass
@@ -99,6 +108,10 @@ class EngineOptions:
     # name -> factory(value, dtype) -> (pred_builder, observed_builder)
     custom_keywords: dict[str, Callable] = field(default_factory=dict)
     custom_formats: dict[str, Callable[[Column], Column]] = field(default_factory=dict)
+    # uri -> schema dict: extra $ref-addressable resources, supplied on the
+    # driver (the registry analogue, ``registry.rs:103-261``; retrieval is
+    # always ahead-of-time — never on executors)
+    resources: dict[str, Any] = field(default_factory=dict)
 
 
 # --------------------------------------------------------------------------
@@ -475,10 +488,17 @@ class Lowerer:
                      self._lift(lambda x, _n=n: F.length(x) <= _n),
                      self._lift(obs))
             if "pattern" in schema:
+                pat = schema["pattern"]
                 emit(ctx.cid("pattern"),
-                     self._lift(_lower_pattern(schema["pattern"])),
+                     self._lift(_lower_pattern(pat)),
                      self._lift(obs))
+                if ecma_to_java(pat) is None:
+                    import re as _re2
+                    _rx = _re2.compile(pat)
+                    out[-1].py_fn = lambda v, _r=_rx: _r.search(v) is not None
             if "format" in schema and ctx.options.validate_formats:
+                from jsonschema_rs_spark.functions.formats import FORMATS_PY
+
                 fmt = schema["format"]
                 builder = ctx.options.custom_formats.get(fmt) or FORMATS.get(fmt)
                 if builder is None:
@@ -486,6 +506,8 @@ class Lowerer:
                         raise SpecError(f"unknown format {fmt!r}")
                 else:
                     emit(ctx.cid("format"), self._lift(builder), self._lift(obs))
+                    if fmt in FORMATS_PY and fmt not in ctx.options.custom_formats:
+                        out[-1].py_fn = FORMATS_PY[fmt]
             if "contentEncoding" in schema and schema["contentEncoding"] == "base64":
                 emit(ctx.cid("contentEncoding"),
                      self._lift(lambda x: F.try_to_binary(x, F.lit("base64")).isNotNull()),
@@ -909,6 +931,7 @@ class Lowerer:
                         c.pred = lambda x, i, _p=prev, _n=n: (i != _n) | _p(x, i)
                     else:
                         c.pred = lambda x, i, _p=prev, _n=n: (i < _n) | _p(x, i)
+                    c.index_gate = index_gate
                 out.append(c)
             # node-level validity for combinators / verdict fast path
             def arr_valid(x: Column, *_, _v=lowered.valid,
@@ -1065,7 +1088,7 @@ def compile_spec(
     (``compiler.rs:284-340``): resolve refs → self-validate → lower keywords.
     """
     options = options or EngineOptions()
-    resolved = resolve_refs(schema)
+    resolved = resolve_refs(schema, resources=options.resources or None)
     validate_spec(resolved, set(options.custom_keywords))
     lowerer = Lowerer(table_schema, options)
     lowered = lowerer.lower_root(resolved)

@@ -131,6 +131,43 @@ FORMATS: dict[str, Callable[[Column], Column]] = {
 }
 
 
+# plain-python element checks for the UDF-backed formats: HOF-based plans
+# stage these via an array adapter (Python UDFs are banned inside lambdas)
+def _py_ipv6(v: str) -> bool:
+    import ipaddress
+
+    try:
+        ipaddress.IPv6Address(v)
+        return True
+    except ValueError:
+        return False
+
+
+def _py_regex(v: str) -> bool:
+    import re as _re
+
+    try:
+        _re.compile(v)
+        return True
+    except _re.error:
+        return False
+
+
+def _py_idn_hostname(v: str) -> bool:
+    try:
+        v.encode("idna")
+        return True
+    except (UnicodeError, IndexError):
+        return False
+
+
+FORMATS_PY: dict[str, Callable[[str], bool]] = {
+    "ipv6": _py_ipv6,
+    "regex": _py_regex,
+    "idn-hostname": _py_idn_hostname,
+}
+
+
 def register_format(name: str, builder: Callable[[Column], Column]) -> None:
     """Custom-format registration (mirrors reference ``options.rs:335-358``).
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Iterable, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
@@ -58,7 +59,69 @@ def _viol_struct(cid: str, span_index: Column, observed: Column) -> Column:
     )
 
 
-def violations_column(compiled: CompiledSpec, root: Column) -> Column:
+def _py_adapter(py_fn):
+    """Array-level Arrow adapter for an element-level python check: takes the
+    extracted string array, returns array<boolean> (None element ≡ pass)."""
+    from pyspark.sql.types import BooleanType as _B
+
+    def adapt(s: pd.Series) -> pd.Series:
+        def row(vals):
+            if vals is None:
+                return None
+            return [True if v is None else bool(py_fn(v)) for v in vals]
+
+        return s.map(row)
+
+    return F.pandas_udf(adapt, ArrayType(_B()))
+
+
+def stage_python_checks(df: DataFrame, compiled: CompiledSpec):
+    """Stage Python-UDF element checks as extra array<boolean> columns.
+
+    Spark bans Python UDFs inside HOF lambdas; a separate projection lets
+    the planner extract them into ArrowEvalPython, and the HOF lambdas read
+    the result via ``element_at``.  Returns (staged_df, okmap) where okmap
+    maps ``id(constraint)`` -> staged column name."""
+    okmap: dict[int, str] = {}
+    staged = df
+    root = _root(df)
+    n = 0
+    def _extract_fn(c):
+        def extract(x: Column, i: Column) -> Column:
+            return c.observed(x, i)
+
+        return extract
+
+    for c in compiled.constraints:
+        if c.scope == "element" and c.py_fn is not None:
+            name = f"__pyok_{n}"
+            n += 1
+            staged = staged.withColumn(
+                name,
+                _py_adapter(c.py_fn)(F.transform(c.array(root),
+                                                 _extract_fn(c))),
+            )
+            okmap[id(c)] = name
+    return staged, okmap
+
+
+def _elem_ok(c, x: Column, i: Column, okmap) -> Column:
+    """Per-element OK predicate; staged-UDF constraints read their adapter
+    column (gate re-applied) instead of invoking pred inside the lambda."""
+    if c.py_fn is not None and okmap and id(c) in okmap:
+        ok = F.coalesce(
+            F.element_at(F.col(okmap[id(c)]), (i + 1).cast("int")), F.lit(True)
+        )
+        if c.index_gate is not None:
+            kind, n = c.index_gate
+            gate = (i == n) if kind == "eq" else (i >= n)
+            ok = ~gate | ok
+        return ok
+    return F.coalesce(c.pred(x, i), F.lit(True))
+
+
+def violations_column(compiled: CompiledSpec, root: Column,
+                      okmap=None) -> Column:
     """Array<violation> column for one document."""
     parts: list[Column] = []
 
@@ -86,7 +149,7 @@ def violations_column(compiled: CompiledSpec, root: Column) -> Column:
         def per_elem(x: Column, i: Column) -> Column:
             cells = [
                 F.when(
-                    ~F.coalesce(c.pred(x, i), F.lit(True)),
+                    ~_elem_ok(c, x, i, okmap),
                     _viol_struct(c.constraint_id, i, c.observed(x, i)),
                 )
                 for c in group
@@ -110,7 +173,7 @@ def violations_column(compiled: CompiledSpec, root: Column) -> Column:
     return out
 
 
-def valid_column(compiled: CompiledSpec, root: Column) -> Column:
+def valid_column(compiled: CompiledSpec, root: Column, okmap=None) -> Column:
     """Boolean verdict without violation allocation (is_valid fast path)."""
     ok = F.lit(True)
     for c in compiled.constraints:
@@ -125,7 +188,7 @@ def valid_column(compiled: CompiledSpec, root: Column) -> Column:
         def elem_ok(x: Column, i: Column) -> Column:
             e = F.lit(True)
             for c in group:
-                e = e & F.coalesce(c.pred(x, i), F.lit(True))
+                e = e & _elem_ok(c, x, i, okmap)
             return e
 
         return elem_ok
@@ -146,20 +209,22 @@ def validation_frame(
     keep_cols: Sequence[str] = (),
     mode: str = "both",
 ) -> DataFrame:
-    """``(id_cols..., keep_cols..., [valid], [violations])`` in one projection."""
+    """``(id_cols..., keep_cols..., [valid], [violations])`` in one projection
+    (plus a staging projection when Python-UDF element checks exist)."""
     root = _root(df)
+    staged, okmap = stage_python_checks(df, compiled)
     cols = [F.col(c) for c in (*id_cols, *keep_cols)]
     if mode == "verdicts":
-        cols.append(valid_column(compiled, root).alias("valid"))
+        cols.append(valid_column(compiled, root, okmap).alias("valid"))
     elif mode == "violations":
-        cols.append(violations_column(compiled, root).alias("violations"))
+        cols.append(violations_column(compiled, root, okmap).alias("violations"))
     elif mode == "both":
-        v = violations_column(compiled, root)
+        v = violations_column(compiled, root, okmap)
         cols.append(v.alias("violations"))
         cols.append((F.size(v) == 0).alias("valid"))
     else:
         raise ValueError(f"unknown mode {mode!r}")
-    return df.select(*cols)
+    return staged.select(*cols)
 
 
 def verdicts(df: DataFrame, compiled: CompiledSpec,

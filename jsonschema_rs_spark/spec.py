@@ -23,12 +23,25 @@ class SpecError(ValueError):
     ``compiler.rs:323-335``)."""
 
 
-def _pointer_get(doc: Any, pointer: str) -> Any:
-    """Resolve a local JSON Pointer like ``#/$defs/span`` against ``doc``."""
+def _pointer_get(doc: Any, pointer: str,
+                 resources: dict[str, Any] | None = None) -> Any:
+    """Resolve a ``$ref`` against ``doc`` or a registered resource.
+
+    ``#/...``       — local JSON Pointer.
+    ``uri``/``uri#/ptr`` — looked up in ``resources`` (the analogue of the
+    reference's URI-addressed registry, ``jsonschema-referencing/src/
+    registry.rs:103-261``); resources are supplied up-front on the driver —
+    there is no network retrieval on executors, ever.
+    """
     if not pointer.startswith("#"):
+        uri, _, frag = pointer.partition("#")
+        if resources and uri in resources:
+            return _pointer_get(resources[uri], "#" + frag, resources)
         raise SpecError(
-            f"only local '#/...' refs are supported (got {pointer!r}); "
-            "fetch remote resources on the driver before compiling"
+            f"unresolvable $ref {pointer!r}: not a local '#/...' pointer and "
+            f"no matching resource registered (have: {sorted(resources or [])}); "
+            "fetch remote resources on the driver and pass them via "
+            "resolve_refs(..., resources=...)"
         )
     cur = doc
     for raw in pointer[1:].split("/"):
@@ -49,8 +62,10 @@ def _pointer_get(doc: Any, pointer: str) -> Any:
     return cur
 
 
-def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0) -> Any:
-    """Inline every local ``$ref`` into a self-contained dict.
+def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
+                 resources: dict[str, Any] | None = None) -> Any:
+    """Inline every ``$ref`` (local or registered-resource) into a
+    self-contained dict.
 
     Bounded unrolling replaces the reference's lazy cycle detection
     (``compiler.rs:182-197``): beyond MAX_REF_DEPTH we raise instead of
@@ -58,6 +73,13 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0) -> Any:
     """
     if root is None:
         root = schema
+        if resources is None and isinstance(schema, dict):
+            # $defs with $id act as addressable resources too
+            resources = {
+                sub["$id"]: sub
+                for sub in (schema.get("$defs") or {}).values()
+                if isinstance(sub, dict) and "$id" in sub
+            }
     if depth > MAX_REF_DEPTH:
         raise SpecError(
             f"$ref nesting deeper than {MAX_REF_DEPTH}: recursive schemas must be "
@@ -65,14 +87,15 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0) -> Any:
         )
     if isinstance(schema, dict):
         if "$ref" in schema:
-            target = copy.deepcopy(_pointer_get(root, schema["$ref"]))
-            resolved = resolve_refs(target, root, depth + 1)
+            target = copy.deepcopy(
+                _pointer_get(root, schema["$ref"], resources))
+            resolved = resolve_refs(target, root, depth + 1, resources)
             # Draft 2019+ allows sibling keywords next to $ref: merge them.
             siblings = {k: v for k, v in schema.items() if k != "$ref"}
             if siblings and isinstance(resolved, dict):
                 merged = dict(resolved)
                 extra = {
-                    k: resolve_refs(v, root, depth)
+                    k: resolve_refs(v, root, depth, resources)
                     for k, v in siblings.items()
                     if k not in ("$defs", "definitions", "$id", "$schema")
                 }
@@ -82,11 +105,12 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0) -> Any:
                 return merged
             return resolved
         return {
-            k: (v if k in ("enum", "const") else resolve_refs(v, root, depth))
+            k: (v if k in ("enum", "const")
+                else resolve_refs(v, root, depth, resources))
             for k, v in schema.items()
         }
     if isinstance(schema, list):
-        return [resolve_refs(v, root, depth) for v in schema]
+        return [resolve_refs(v, root, depth, resources) for v in schema]
     return schema
 
 

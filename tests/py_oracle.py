@@ -215,9 +215,17 @@ def _check_format(fmt: str, v: str) -> bool:
     import ipaddress
     from datetime import date
 
+    from jsonschema_rs_spark.functions import formats as FM
+
     if fmt == "ipv4":
         try:
             ipaddress.IPv4Address(v)
+            return True
+        except ValueError:
+            return False
+    if fmt == "ipv6":
+        try:
+            ipaddress.IPv6Address(v)
             return True
         except ValueError:
             return False
@@ -227,10 +235,29 @@ def _check_format(fmt: str, v: str) -> bool:
             return len(v) == 10
         except ValueError:
             return False
-    if fmt == "uuid":
-        return bool(re.fullmatch(
-            r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
-            r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}", v))
+    if fmt == "regex":
+        try:
+            re.compile(v)
+            return True
+        except re.error:
+            return False
+    if fmt == "duration":
+        return (bool(re.search(FM._DURATION_RE, v)) and v != "P"
+                and not v.endswith("T"))
+    if fmt == "hostname":
+        return len(v) <= 253 and bool(re.search(FM._HOSTNAME_RE, v))
+    rx = {
+        "uuid": FM._UUID_RE,
+        "email": FM._EMAIL_RE,
+        "date-time": FM._DATETIME_RE,
+        "time": FM._TIME_RE,
+        "json-pointer": FM._JSON_POINTER_RE,
+        "relative-json-pointer": FM._REL_JSON_POINTER_RE,
+        "uri": FM._URI_RE,
+        "uri-reference": FM._URI_REF_RE,
+    }.get(fmt)
+    if rx is not None:
+        return bool(re.search(rx, v))
     return True
 
 

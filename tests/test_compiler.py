@@ -28,6 +28,25 @@ def test_remote_ref_rejected():
         resolve_refs({"$ref": "https://example.com/x.json"})
 
 
+def test_registered_resource_ref():
+    # the registry analogue: resources supplied ahead-of-time on the driver
+    resources = {"https://example.com/pos.json": {
+        "properties": {"offset": {"minimum": 0}}}}
+    out = resolve_refs(
+        {"properties": {"spans": {"items": {
+            "$ref": "https://example.com/pos.json#/properties/offset"}}}},
+        resources=resources)
+    assert out["properties"]["spans"]["items"] == {"minimum": 0}
+
+
+def test_dollar_id_defs_as_resources():
+    out = resolve_refs({
+        "$defs": {"pos": {"$id": "urn:pos", "minimum": 0}},
+        "properties": {"spans": {"items": {"$ref": "urn:pos"}}},
+    })
+    assert out["properties"]["spans"]["items"]["minimum"] == 0
+
+
 @pytest.mark.parametrize("bad", [
     {"minLength": -1},
     {"minimum": "zero"},
