@@ -282,10 +282,23 @@ def violations(df: DataFrame, compiled: CompiledSpec,
             )
             for c in group
         ]
+        # cheap boolean pre-filter: only rows with >=1 violation reach the
+        # per-constraint stack+explode (cuts the Generate fan-out by the
+        # pass rate — normally ~100x in production; predicates re-evaluate
+        # only on violating rows)
+        span_any = F.lit(False)
+        for c in group:
+            span_any = span_any | ~F.coalesce(c.pred(x, i), F.lit(True))
+        keep = i.isNotNull() & span_any
         if n == 0 and doc_cs:
             first = i.isNull() | (i == 0)
             cells += [F.when(first, cell) for cell in doc_cells(F.col("_root"))]
-        stacked = ex.select(
+            doc_any = F.lit(False)
+            for c in doc_cs:
+                doc_any = doc_any | ~F.coalesce(
+                    c.pred(F.col("_root")), F.lit(True))
+            keep = keep | (first & doc_any)
+        stacked = ex.filter(keep).select(
             *ids, F.explode(F.array(*cells)).alias("v")
         ).filter(F.col("v").isNotNull())
         branches.append(stacked)
