@@ -268,7 +268,11 @@ def violations(df: DataFrame, compiled: CompiledSpec,
     array_keys = list(by_array)
     for n, key in enumerate(array_keys):
         group = by_array[key]
-        arr = group[0].array(root)
+        # direct column path (not a getField chain through the root struct):
+        # GeneratorNestedColumnAliasing only prunes nested parquet columns
+        # for direct references, and the difference is reading
+        # array<struct<kind>> vs the full span payload
+        arr = F.col(".".join(key)) if key else group[0].array(root)
         ex = df.select(
             *ids,
             *( [root.alias("_root")] if n == 0 and doc_cs else [] ),
@@ -388,7 +392,7 @@ def partition_rollup(
     array_keys = list(by_array)
     for n, key in enumerate(array_keys):
         group = by_array[key]
-        arr = group[0].array(root)
+        arr = F.col(".".join(key)) if key else group[0].array(root)
         ex = df.select(
             F.col(part_col), *[F.col(c) for c in id_cols],
             *([root.alias("_root")] if n == 0 and doc_cs else []),

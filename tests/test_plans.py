@@ -1,0 +1,86 @@
+"""Physical plan shape regression tests — the scale guarantees.
+
+These assert the properties the 100-TB design depends on, so a refactor
+can't silently reintroduce a shuffle or break scan pruning.
+"""
+
+from pyspark.sql import functions as F
+
+from jsonschema_rs_spark.compiler import compile_spec
+from jsonschema_rs_spark.flagship import FLAGSHIP_SPEC
+from jsonschema_rs_spark.plans.validate import (
+    partition_rollup,
+    validation_frame,
+    verdicts,
+    violations,
+)
+from jsonschema_rs_spark.sources.spans import derive_spans
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _spans_parquet(spark, tmp_path):
+    path = str(tmp_path / "spans.parquet")
+    derive_spans(spark, SF).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_violations_plan_has_no_shuffle(spark, tmp_path):
+    df = _spans_parquet(spark, tmp_path)
+    compiled = compile_spec(FLAGSHIP_SPEC, df.schema)
+    plan = _physical(violations(df, compiled))
+    assert "Exchange" not in plan, plan
+
+
+def test_verdict_plan_has_no_shuffle(spark, tmp_path):
+    df = _spans_parquet(spark, tmp_path)
+    compiled = compile_spec(FLAGSHIP_SPEC, df.schema)
+    plan = _physical(verdicts(df, compiled))
+    assert "Exchange" not in plan, plan
+
+
+def test_rollup_single_shuffle(spark, tmp_path):
+    df = _spans_parquet(spark, tmp_path)
+    compiled = compile_spec(FLAGSHIP_SPEC, df.schema)
+    plan = _physical(partition_rollup(df, compiled, "part_key"))
+    # exactly the partition-key aggregation exchange (plus AQE reads)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_column_pruning_reaches_scan(spark, tmp_path):
+    df = _spans_parquet(spark, tmp_path)
+    compiled = compile_spec(
+        {"properties": {"doc_id": {"pattern": "^doc-"}}}, df.schema)
+    plan = _physical(verdicts(df, compiled))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "spans" not in read, read
+    assert "part_key" not in read, read
+
+
+def test_no_python_in_flagship_plan(spark, tmp_path):
+    """The full flagship suite must stay JVM-side (no Arrow/Python eval)."""
+    df = _spans_parquet(spark, tmp_path)
+    compiled = compile_spec(FLAGSHIP_SPEC, df.schema)
+    for frame in (violations(df, compiled), verdicts(df, compiled)):
+        plan = _physical(frame)
+        assert "Python" not in plan, plan
+        assert "BatchEvalPython" not in plan
+
+
+def test_python_format_staged_not_in_lambda(spark, tmp_path):
+    """UDF-backed formats must appear as ArrowEvalPython, never inside a
+    lambdafunction (Spark would reject the plan)."""
+    df = _spans_parquet(spark, tmp_path)
+    compiled = compile_spec(
+        {"properties": {"spans": {"items": {"properties": {
+            "text": {"format": "ipv6"}}}}}},
+        df.schema,
+    )
+    vf = validation_frame(df, compiled, mode="both")
+    plan = _physical(vf)
+    assert "ArrowEvalPython" in plan, plan
+    vf.collect()  # and it actually executes

@@ -31,6 +31,7 @@ INPUT = "/tmp/scaling_spans.parquet"
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "80"))
 REPEAT = int(os.environ.get("SPARK_GRAFT_REPEAT", "2"))
+N_BASE = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 
 
 def child(cores: int) -> None:
@@ -84,9 +85,9 @@ def orchestrate() -> None:
     # single runs swing 3-10x), so configs run in ALTERNATING rounds and the
     # per-config MINIMUM — the least-contended sample — is what's compared.
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
-    samples: dict[int, list] = {4: [], 16: []}
+    samples: dict[int, list] = {N_BASE: [], 4 * N_BASE: []}
     for _ in range(rounds):
-        for cores in (4, 16):
+        for cores in (N_BASE, 4 * N_BASE):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--run",
                  str(cores)],
@@ -100,15 +101,16 @@ def orchestrate() -> None:
             print(line)
 
     results = {c: min(s, key=lambda r: r["sec"]) for c, s in samples.items()}
-    t8, t32 = results[4]["docs_per_sec"], results[16]["docs_per_sec"]
+    t8, t32 = (results[N_BASE]["docs_per_sec"],
+               results[4 * N_BASE]["docs_per_sec"])
     eff = t32 / (4 * t8)
     summary = {
-        "docs": results[4]["docs"],
-        "local4_sec": results[4]["sec"],
-        "local16_sec": results[16]["sec"],
-        "local4_docs_per_sec": t8,
-        "local16_docs_per_sec": t32,
-        "scaling_efficiency_4_to_16": round(eff, 3),
+        "docs": results[N_BASE]["docs"],
+        "localN_sec": results[N_BASE]["sec"],
+        "local4N_sec": results[4 * N_BASE]["sec"],
+        "localN_docs_per_sec": t8,
+        "local4N_docs_per_sec": t32,
+        "scaling_efficiency": round(eff, 3), "n": N_BASE,
         "all_samples_sec": {c: [r["sec"] for r in s]
                             for c, s in samples.items()},
     }
@@ -125,15 +127,15 @@ replicate={REPLICATE}).
 
 | config | wall sec (min) | docs/sec | all samples (sec) |
 | --- | --- | --- | --- |
-| local[4]  | {results[4]['sec']} | {t8} | {[r['sec'] for r in samples[4]]} |
-| local[16] | {results[16]['sec']} | {t32} | {[r['sec'] for r in samples[16]]} |
+| local[{N_BASE}]  | {results[N_BASE]['sec']} | {t8} | {[r['sec'] for r in samples[N_BASE]]} |
+| local[{4*N_BASE}] | {results[4*N_BASE]['sec']} | {t32} | {[r['sec'] for r in samples[4*N_BASE]]} |
 
 Samples were taken in alternating rounds (4,16,4,16,...) and the minimum
 per config compared, because this shared sandbox host shows 3-10x wall-time
 swings from co-tenant load (load-average spikes with ~0% visible CPU use).
 
-**Scaling efficiency 4 -> 16 cores (4x): {eff:.3f}**
-(= docs/sec at 16 / (4 x docs/sec at 4); docs = {results[4]['docs']})
+**Scaling efficiency {N_BASE} -> {4*N_BASE} cores (4x): {eff:.3f}**
+(= docs/sec at 4N / (4 x docs/sec at N); docs = {results[N_BASE]['docs']})
 
 Why this scales: the violation plan is a single parquet scan feeding
 narrow, fully whole-stage-codegen operators (posexplode -> fused
