@@ -78,11 +78,15 @@ def main() -> None:
     # plans are built ONCE outside the timed region — driver-side expression
     # construction is a per-job compile cost (the same plan validates all
     # 100 TB on a real cluster); timings measure per-byte execution
+    from jsonschema_rs_spark.plans.validate import verdicts as _verdicts
+
     verdicts_df = validation_frame(df, compiled, mode="verdicts")
+    verdicts_ex_df = _verdicts(df, compiled, strategy="exploded")
     violations_df = violations(df, compiled)
     rollup_df = partition_rollup(df, compiled, "part_key")
 
     timed("verdicts_fast_path", lambda: _force(verdicts_df), repeat=2)
+    timed("verdicts_exploded", lambda: _force(verdicts_ex_df), repeat=2)
     timed("violations_full", lambda: _force(violations_df), repeat=2)
     timed("partition_rollup", lambda: rollup_df.collect(), repeat=2)
 

@@ -228,8 +228,67 @@ def validation_frame(
 
 
 def verdicts(df: DataFrame, compiled: CompiledSpec,
-             id_cols: Sequence[str] = ("doc_id",)) -> DataFrame:
-    return validation_frame(df, compiled, id_cols, mode="verdicts")
+             id_cols: Sequence[str] = ("doc_id",),
+             strategy: str = "hof") -> DataFrame:
+    """Per-doc boolean verdicts.
+
+    strategy='hof' (default): single projection, ZERO shuffle — element
+    predicates run inside array HOFs.  HOF lambdas are interpreted
+    (CodegenFallback), so per-core cost is higher, but nothing moves.
+    Right at cluster scale where a doc-key shuffle is the bigger cost.
+
+    strategy='exploded': whole-stage-codegen explode + hash agg keyed by
+    the doc id (map-side combined booleans).  ~3-5x faster per core
+    locally; shuffles O(docs) tiny (id, bool) pairs.  Right when per-core
+    throughput dominates (few executors, hot data).
+    """
+    if strategy == "hof":
+        return validation_frame(df, compiled, id_cols, mode="verdicts")
+    if strategy != "exploded":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    root = _root(df)
+    doc_cs = [c for c in compiled.constraints if c.scope == "doc"]
+    by_array: dict[tuple, list] = {}
+    for c in compiled.constraints:
+        if c.scope == "element":
+            by_array.setdefault(c.array_key, []).append(c)
+    ids = [F.col(c) for c in id_cols]
+
+    frames = []
+    for n, key in enumerate(by_array):
+        group = by_array[key]
+        arr = F.col(".".join(key)) if key else group[0].array(root)
+        ex = df.select(
+            *ids,
+            *([root.alias("_root")] if n == 0 and doc_cs else []),
+            F.posexplode_outer(arr).alias("_pos", "_elem"),
+        )
+        x, i = F.col("_elem"), F.col("_pos")
+        bad = F.lit(False)
+        for c in group:
+            bad = bad | (i.isNotNull()
+                         & ~F.coalesce(c.pred(x, i), F.lit(True)))
+        if n == 0 and doc_cs:
+            first = i.isNull() | (i == 0)
+            doc_bad = F.lit(False)
+            for c in doc_cs:
+                doc_bad = doc_bad | ~F.coalesce(
+                    c.pred(F.col("_root")), F.lit(True))
+            bad = bad | (first & doc_bad)
+        frames.append(ex.select(*ids, bad.alias("_bad")))
+    if not frames:
+        doc_bad = F.lit(False)
+        for c in doc_cs:
+            doc_bad = doc_bad | ~F.coalesce(c.pred(root), F.lit(True))
+        frames = [df.select(*ids, doc_bad.alias("_bad"))]
+    all_rows = frames[0]
+    for fr in frames[1:]:
+        all_rows = all_rows.unionByName(fr)
+    return (
+        all_rows.groupBy(*id_cols)
+        .agg((F.sum(F.col("_bad").cast("int")) == 0).alias("valid"))
+    )
 
 
 def violations(df: DataFrame, compiled: CompiledSpec,

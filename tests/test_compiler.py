@@ -119,13 +119,23 @@ def test_map_applicators(spark):
 
 def test_verdict_fastpath_agrees_with_violations(spark):
     from jsonschema_rs_spark.flagship import FLAGSHIP_SPEC
+    from jsonschema_rs_spark.plans.validate import verdicts
     from jsonschema_rs_spark.sources.spans import synth_spans
 
     df = synth_spans(spark, 300).cache()
     c = compile_spec(FLAGSHIP_SPEC, df.schema)
     both = validation_frame(df, c, mode="both")
     fast = validation_frame(df, c, mode="verdicts")
+    exploded = verdicts(df, c, strategy="exploded")
     a = {(r["doc_id"], r["valid"]) for r in both.collect()}
     b = {(r["doc_id"], r["valid"]) for r in fast.collect()}
-    assert a == b
+    # synth data plants duplicate doc_ids; the exploded strategy groups by
+    # id, so compare against the AND of per-row verdicts per id
+    from collections import defaultdict
+    expect = defaultdict(lambda: True)
+    for doc_id, valid in a:
+        expect[doc_id] &= valid
+    e = {(r["doc_id"], r["valid"]) for r in exploded.collect()}
+    assert b == a
+    assert e == {(k, v) for k, v in expect.items()}
     df.unpersist()
