@@ -257,6 +257,13 @@ def q_sim_lsh_ann(spark, sf_dir):
     return SIM.lsh_ann_topk(emb, q, k=10, n_planes=16, bands=4)
 
 
+def q_sim_ivf_ann(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return SIM.ivf_ann_topk(emb, q, k=10, n_centroids=16, nprobe=6)
+
+
 def q_mm_media_features(spark, sf_dir):
     fs = flat_spans(spark, sf_dir)
     media = (
@@ -305,6 +312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_topk": q_sim_topk,
         "sim_lsh_ann": q_sim_lsh_ann,  # no oracle: LSH recall tested in pytest
+        "sim_ivf_ann": q_sim_ivf_ann,  # no oracle: IVF recall tested in pytest
         "mm_media_features": q_mm_media_features,
     }
 

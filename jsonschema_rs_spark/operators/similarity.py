@@ -180,6 +180,93 @@ def lsh_ann_topk(
     )
 
 
+def _centroids(corpus: DataFrame, id_col: str, vec_col: str,
+               n_centroids: int) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid set: the n lowest-id corpus vectors.
+
+    A k-means refinement would slot in here unchanged (centroids are just
+    driver-side literals); deterministic seeding keeps runs reproducible
+    and restart-stable, which matters more for a validation pipeline."""
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(i, [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
+
+
+def _nearest_centroid_cols(vec: Column, cents) -> Column:
+    """Array of (centroid_id, negative dot product) distances — JVM-side."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                (-dot(_as_double(vec),
+                      F.array(*[F.lit(x) for x in cv]))).alias("ndot"),
+            )
+            for cid, cv in cents
+        ]
+    )
+
+
+def ivf_assign(df: DataFrame, vec_col: str, cents) -> DataFrame:
+    """Add ``bucket`` = argmax dot-product centroid (coarse quantizer)."""
+    dists = _nearest_centroid_cols(F.col(vec_col), cents)
+    best = F.array_min(dists)  # struct ordering: min ndot = max dot
+    return df.withColumn("bucket", best.getField("cid"))
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed by nearest centroid (one
+    narrow pass), queries probe their ``nprobe`` nearest buckets; exact
+    cosine only within probed buckets.
+
+    Scale shape: the corpus-side cost is one scan + small shuffle on the
+    bucket key; query fan-out is nprobe buckets; centroids are driver
+    literals (broadcast implicitly in the expression)."""
+    cents = _centroids(corpus, id_col, vec_col, n_centroids)
+    cb = ivf_assign(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col)), vec_col,
+        cents,
+    )
+    # queries: explode nprobe nearest buckets
+    qd = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.slice(
+            F.array_sort(_nearest_centroid_cols(F.col(vec_col), cents)),
+            1,
+            nprobe,
+        ).alias("_probes"),
+    )
+    qb = qd.select(
+        "query_id", "qv",
+        F.explode(F.col("_probes").getField("cid")).alias("bucket"),
+    )
+    cand = cb.join(F.broadcast(qb), "bucket").select(
+        "query_id", "vec_id",
+        cosine(_as_double(F.col(vec_col)), _as_double(F.col("qv"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
 def near_duplicates_cosine(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -425,6 +425,31 @@ def violation_count_column(compiled: CompiledSpec, root: Column) -> Column:
     return cnt
 
 
+def with_messages(viol_df: DataFrame) -> DataFrame:
+    """Append a human-readable ``message`` column (analogue of the
+    reference's formatted ``ValidationError`` messages, ``error.rs``/
+    ``jsonschema-py/src/lib.rs:223-261``).  Pure string Column over the
+    violation rows — zero impact on the validation plan itself."""
+    kw = F.element_at(F.split(F.col("constraint_id"), "/"), -1)
+    where = F.when(
+        F.col("span_index").isNotNull(),
+        F.concat(F.lit(" at span "), F.col("span_index").cast("string")),
+    ).otherwise(F.lit(""))
+    return viol_df.withColumn(
+        "message",
+        F.concat(
+            F.lit("value '"),
+            F.coalesce(F.col("observed"), F.lit("null")),
+            F.lit("' violates "),
+            kw,
+            F.lit(" ("),
+            F.col("constraint_id"),
+            F.lit(")"),
+            where,
+        ),
+    )
+
+
 def partition_rollup(
     df: DataFrame,
     compiled: CompiledSpec,

@@ -66,6 +66,37 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
         assert (qid, qid) in a
 
 
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = SIM.cosine_topk(emb, q, k=5)
+    ivf = SIM.ivf_ann_topk(emb, q, k=5, n_centroids=16, nprobe=6)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    assert len(e & a) / len(e) >= 0.6
+    for qid in range(10):
+        assert (qid, qid) in a  # self-vector always lands in its own bucket
+
+
+def test_violation_messages(spark):
+    from jsonschema_rs_spark.compiler import compile_spec
+    from jsonschema_rs_spark.plans.validate import violations, with_messages
+    from jsonschema_rs_spark.sources.spans import SPAN_TABLE_SCHEMA
+
+    df = spark.createDataFrame(
+        [{"doc_id": "d1", "spans": [
+            {"kind": "zzz", "text": None, "media_ref": None, "offset": 0}],
+          "part_key": 0}],
+        SPAN_TABLE_SCHEMA)
+    c = compile_spec(
+        {"properties": {"spans": {"items": {"properties": {
+            "kind": {"enum": ["text"]}}}}}}, df.schema)
+    out = with_messages(violations(df, c)).collect()
+    assert out[0]["message"] == (
+        "value 'zzz' violates enum (spans/items/kind/enum) at span 0")
+
+
 def test_embedding_near_duplicates(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     # plant a near-identical copy of vec 0
