@@ -211,6 +211,7 @@ def q_txt_stats(spark, sf_dir):
     return d.select(
         "doc_id",
         T.token_count(t).cast("bigint").alias("n_tokens"),
+        T.wordpiece_count(t).cast("bigint").alias("n_wordpieces"),
         F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
         F.round(T.mean_word_len(t), 6).alias("mean_word_len"),
         F.round(T.quality_score(t), 2).alias("quality"),
@@ -548,6 +549,9 @@ s AS (
 )
 SELECT doc_id,
        CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text,
+            '[a-z]+|[A-Z][a-z]*|[0-9]+|[^\\sa-zA-Z0-9]')) AS BIGINT)
+           AS n_wordpieces,
        round(p_ratio, 6) AS punct_ratio,
        round(mwl, 6) AS mean_word_len,
        CAST(round(
