@@ -1,0 +1,90 @@
+"""Reference-shaped API facade.
+
+Mirrors the jsonschema-rs Python surface
+(``crates/jsonschema-py/python/jsonschema_rs/__init__.pyi:7-111``) so a user
+of the reference maps 1:1 — with instances generalized from "one JSON value"
+to "a DataFrame of documents":
+
+    reference                      →  here
+    ---------------------------------------------------------------
+    validator_for(schema)          →  validator_for(schema, table_schema)
+    validator.is_valid(instance)   →  v.is_valid(df)          (bool per doc)
+    validator.validate(instance)   →  v.validate(df)          (raises on any
+                                                               violation)
+    validator.iter_errors(inst)    →  v.iter_errors(df)       (violation rows
+                                                               + messages)
+    validator.apply(inst).basic()  →  v.apply_basic(df, part) (rollup)
+    jsonschema_rs.is_valid(s, i)   →  is_valid(schema, df)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jsonschema_rs_spark.compiler import CompiledSpec, EngineOptions, compile_spec
+from jsonschema_rs_spark.plans.validate import (
+    partition_rollup,
+    validation_frame,
+    violations,
+    with_messages,
+)
+
+
+class ValidationError(ValueError):
+    """Raised by ``validate`` when any document violates the spec (reference:
+    ``ValidationError(ValueError)`` with message/paths, ``.pyi:35-38``)."""
+
+    def __init__(self, sample_rows):
+        self.sample = sample_rows
+        first = sample_rows[0]
+        super().__init__(
+            f"{first['message']} (doc {first['doc_id']}; "
+            f"showing {len(sample_rows)} of possibly more violations)"
+        )
+
+
+class SparkValidator:
+    def __init__(self, compiled: CompiledSpec,
+                 id_cols: Sequence[str] = ("doc_id",)):
+        self.compiled = compiled
+        self.id_cols = tuple(id_cols)
+
+    def is_valid(self, df: DataFrame) -> DataFrame:
+        """Boolean verdict per document — the allocation-free fast path."""
+        return validation_frame(df, self.compiled, self.id_cols,
+                                mode="verdicts")
+
+    def iter_errors(self, df: DataFrame) -> DataFrame:
+        """Violation rows with messages (lazy: a DataFrame, not a list)."""
+        return with_messages(violations(df, self.compiled, self.id_cols))
+
+    def validate(self, df: DataFrame, sample: int = 5) -> None:
+        """Raise ``ValidationError`` carrying sample violations if any doc
+        fails; return None otherwise."""
+        rows = self.iter_errors(df).limit(sample).collect()
+        if rows:
+            raise ValidationError([r.asDict() for r in rows])
+
+    def apply_basic(self, df: DataFrame, part_col: str) -> DataFrame:
+        """Per-partition rollup — the ``apply().basic()`` analogue."""
+        return partition_rollup(df, self.compiled, part_col, self.id_cols)
+
+
+def validator_for(schema: Any, table_schema,
+                  options: EngineOptions | None = None,
+                  id_cols: Sequence[str] = ("doc_id",)) -> SparkValidator:
+    return SparkValidator(compile_spec(schema, table_schema, options),
+                          id_cols=id_cols)
+
+
+def is_valid(schema: Any, df: DataFrame,
+             id_cols: Sequence[str] = ("doc_id",)) -> DataFrame:
+    return validator_for(schema, df.schema, id_cols=id_cols).is_valid(df)
+
+
+def validate(schema: Any, df: DataFrame,
+             id_cols: Sequence[str] = ("doc_id",)) -> None:
+    validator_for(schema, df.schema, id_cols=id_cols).validate(df)
