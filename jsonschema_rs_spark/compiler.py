@@ -89,6 +89,11 @@ class CompiledConstraint:
     # positional gate folded into pred by tuple forms; mirrored here so the
     # staged-UDF lookup path can re-apply it ("eq"/"ge", n)
     index_gate: Optional[tuple] = None
+    # element scope: the top-level element fields this constraint reads
+    # (None = unknown/whole element).  Lets plans project the array down to
+    # arrays_zip(touched fields) so nested parquet pruning reaches the scan
+    # even through Generate+Filter.
+    touched: Optional[frozenset] = None
 
 
 @dataclass
@@ -545,9 +550,12 @@ class Lowerer:
         return lambda x, *i, _fn=fn: _fn(x)
 
     def _mk(self, ctx: _Ctx, cid: str, pred, observed) -> CompiledConstraint:
+        touched = None
+        if ctx.scope == "element" and ctx.dpath:
+            touched = frozenset({ctx.dpath[0]})
         return CompiledConstraint(
             constraint_id=cid, scope=ctx.scope, pred=pred, observed=observed,
-            array=ctx.array, array_key=ctx.array_key,
+            array=ctx.array, array_key=ctx.array_key, touched=touched,
         )
 
     # ------------------------------------------------------------------
@@ -615,7 +623,10 @@ class Lowerer:
                 )
             pred = lambda x, *i, _k=key: x.getField(_k).isNotNull()
             observed = lambda x, *i: F.lit("missing")
-            out.append(self._mk(ctx, ctx.cid("required", key), pred, observed))
+            c_req = self._mk(ctx, ctx.cid("required", key), pred, observed)
+            if ctx.scope == "element" and not ctx.dpath:
+                c_req.touched = frozenset({key})
+            out.append(c_req)
             valids.append(pred)
 
         # dependentRequired / dependencies(list form) — reference
@@ -1035,11 +1046,18 @@ class Lowerer:
         # Same-scope children keep per-constraint identity with a gated pred;
         # cross-scope children collapse into a node-level constraint.
         if "if" in schema and ("then" in schema or "else" in schema):
-            cond = self.lower(schema["if"], _Ctx(
+            cond_lowered = self.lower(schema["if"], _Ctx(
                 dtype=ctx.dtype, path=ctx.path + ("if",), scope=ctx.scope,
                 dpath=ctx.dpath, elementable=False,
                 array=ctx.array, array_key=ctx.array_key,
-                options=ctx.options)).valid
+                options=ctx.options))
+            cond = cond_lowered.valid
+            cond_touched = frozenset()
+            for cc in cond_lowered.constraints:
+                if cc.touched is None:
+                    cond_touched = None
+                    break
+                cond_touched = cond_touched | cc.touched
 
             def gate(branch_schema, branch_name, polarity):
                 lowered = self.lower(branch_schema, _Ctx(
@@ -1057,6 +1075,11 @@ class Lowerer:
                         prev = c.pred
                         c.pred = (lambda *a, _p=prev:
                                   ~gated_c(cond(*a), *a) | F.coalesce(_p(*a), F.lit(True)))
+                        # the gated pred now also reads the if-condition's
+                        # fields
+                        if c.touched is not None:
+                            c.touched = (None if cond_touched is None
+                                         else c.touched | cond_touched)
                         out.append(c)
                         valids.append(c.pred)
                 else:

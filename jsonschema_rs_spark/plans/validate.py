@@ -258,7 +258,7 @@ def verdicts(df: DataFrame, compiled: CompiledSpec,
     frames = []
     for n, key in enumerate(by_array):
         group = by_array[key]
-        arr = F.col(".".join(key)) if key else group[0].array(root)
+        arr = _group_array(df, key, group, root)
         ex = df.select(
             *ids,
             *([root.alias("_root")] if n == 0 and doc_cs else []),
@@ -289,6 +289,34 @@ def verdicts(df: DataFrame, compiled: CompiledSpec,
         all_rows.groupBy(*id_cols)
         .agg((F.sum(F.col("_bad").cast("int")) == 0).alias("valid"))
     )
+
+
+
+def _group_array(df: DataFrame, key, group, root) -> Column:
+    """The array column a constraint group explodes over.
+
+    When every constraint declares its touched element fields, the array is
+    rebuilt as ``arrays_zip(spans.f1, spans.f2, ...)`` — per-field nested
+    references that parquet nested-schema pruning CAN push into the scan
+    (a plain ``spans`` reference through Generate+Filter cannot be pruned).
+    Positions (span_index) are preserved by zip."""
+    touched = frozenset()
+    for c in group:
+        if c.touched is None:
+            touched = None
+            break
+        touched = touched | c.touched
+    if key and touched:
+        base = ".".join(key)
+        fields = sorted(touched)
+        if len(fields) == 1:
+            # arrays_zip with one input still zips; name the field directly
+            return F.arrays_zip(F.col(f"{base}.{fields[0]}").alias(fields[0]))
+        return F.arrays_zip(
+            *[F.col(f"{base}.{f}").alias(f) for f in fields])
+    if key:
+        return F.col(".".join(key))
+    return group[0].array(root)
 
 
 def violations(df: DataFrame, compiled: CompiledSpec,
@@ -327,11 +355,7 @@ def violations(df: DataFrame, compiled: CompiledSpec,
     array_keys = list(by_array)
     for n, key in enumerate(array_keys):
         group = by_array[key]
-        # direct column path (not a getField chain through the root struct):
-        # GeneratorNestedColumnAliasing only prunes nested parquet columns
-        # for direct references, and the difference is reading
-        # array<struct<kind>> vs the full span payload
-        arr = F.col(".".join(key)) if key else group[0].array(root)
+        arr = _group_array(df, key, group, root)
         ex = df.select(
             *ids,
             *( [root.alias("_root")] if n == 0 and doc_cs else [] ),
@@ -476,7 +500,7 @@ def partition_rollup(
     array_keys = list(by_array)
     for n, key in enumerate(array_keys):
         group = by_array[key]
-        arr = F.col(".".join(key)) if key else group[0].array(root)
+        arr = _group_array(df, key, group, root)
         ex = df.select(
             F.col(part_col), *[F.col(c) for c in id_cols],
             *([root.alias("_root")] if n == 0 and doc_cs else []),

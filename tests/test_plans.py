@@ -84,3 +84,18 @@ def test_python_format_staged_not_in_lambda(spark, tmp_path):
     plan = _physical(vf)
     assert "ArrowEvalPython" in plan, plan
     vf.collect()  # and it actually executes
+
+
+def test_nested_field_pruning_reaches_scan(spark, tmp_path):
+    """Touched-field tracking: a kind-only spec must read only spans.kind."""
+    from jsonschema_rs_spark.plans.validate import violations as _violations
+
+    df = _spans_parquet(spark, tmp_path)
+    compiled = compile_spec(
+        {"properties": {"spans": {"items": {"properties": {
+            "kind": {"enum": ["text"]}}}}}},
+        df.schema,
+    )
+    plan = _physical(_violations(df, compiled))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "kind" in read and "media_ref" not in read and "text:" not in read, read
