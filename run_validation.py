@@ -33,6 +33,8 @@ def main(argv=None) -> int:
     p.add_argument("--sketch-cols", default="",
                    help="comma list of columns to sketch into the manifest")
     args = p.parse_args(argv)
+    if args.mode == "resumable" and not (args.manifest and args.out):
+        p.error("--mode resumable requires --manifest and --out")
 
     from pyspark.sql import SparkSession
 
@@ -74,8 +76,6 @@ def main(argv=None) -> int:
         for row in out.collect():
             print(json.dumps(row.asDict()))
     else:  # resumable
-        if not (args.manifest and args.out):
-            p.error("--mode resumable requires --manifest and --out")
         sketch_cols = tuple(c for c in args.sketch_cols.split(",") if c)
         done = CP.run_resumable_validation(
             df, compiled, args.part_col, args.manifest, args.out,
