@@ -80,12 +80,14 @@ def main() -> None:
     # 100 TB on a real cluster); timings measure per-byte execution
     from jsonschema_rs_spark.plans.validate import verdicts as _verdicts
 
-    verdicts_df = validation_frame(df, compiled, mode="verdicts")
+    verdicts_df = _verdicts(df, compiled)  # default: codegen prefilter
+    verdicts_hof_df = validation_frame(df, compiled, mode="verdicts")
     verdicts_ex_df = _verdicts(df, compiled, strategy="exploded")
     violations_df = violations(df, compiled)
     rollup_df = partition_rollup(df, compiled, "part_key")
 
     timed("verdicts_fast_path", lambda: _force(verdicts_df), repeat=2)
+    timed("verdicts_hof", lambda: _force(verdicts_hof_df), repeat=2)
     timed("verdicts_exploded", lambda: _force(verdicts_ex_df), repeat=2)
     timed("violations_full", lambda: _force(violations_df), repeat=2)
     timed("partition_rollup", lambda: rollup_df.collect(), repeat=2)

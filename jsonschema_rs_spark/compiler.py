@@ -52,7 +52,11 @@ from pyspark.sql.types import (
 )
 
 from jsonschema_rs_spark.spec import SpecError, resolve_refs, validate_spec
-from jsonschema_rs_spark.functions.ecma import ecma_to_java
+from jsonschema_rs_spark.functions.ecma import (
+    driver_regex_matcher,
+    ecma_to_java,
+    python_fallback,
+)
 from jsonschema_rs_spark.functions.formats import FORMATS
 
 _INTEGRALS = (ByteType, ShortType, IntegerType, LongType)
@@ -61,6 +65,60 @@ _FRACTIONALS = (FloatType, DoubleType, DecimalType)
 
 def _is_numeric(dt: DataType) -> bool:
     return isinstance(dt, _INTEGRALS + _FRACTIONALS)
+
+
+# --------------------------------------------------------------------------
+# python-check staging (Arrow adapter columns for HOF plans)
+# --------------------------------------------------------------------------
+#
+# Spark bans Python UDFs inside higher-order-function lambdas.  Exploded
+# plans evaluate predicates in plain projections, so a pandas-UDF leaf is
+# legal there.  HOF plans instead *stage* each python-backed leaf as one
+# array<boolean> column (``adapter(transform(arr, extract))`` — the planner
+# extracts it into ArrowEvalPython), and the leaf predicate self-resolves to
+# ``element_at(staged, i+1)`` whenever a staging context is active at
+# plan-build time.  Because the LEAF resolves (not the whole constraint),
+# any column-algebra composition wrapped around it — if/then gates, anyOf /
+# oneOf / not, tuple index gates, field-descent null passes — evaluates
+# identically on both paths.
+
+_ACTIVE_STAGES: list[dict] = []
+
+
+class py_stage_context:
+    """Plan-build-time context: maps PyStage.stage_id -> staged column name."""
+
+    def __init__(self, mapping: dict):
+        self.mapping = mapping
+
+    def __enter__(self):
+        _ACTIVE_STAGES.append(self.mapping)
+        return self.mapping
+
+    def __exit__(self, *exc):
+        _ACTIVE_STAGES.pop()
+        return False
+
+
+def _stage_lookup(stage_id: int):
+    if _ACTIVE_STAGES and stage_id in _ACTIVE_STAGES[-1]:
+        return _ACTIVE_STAGES[-1][stage_id]
+    return None
+
+
+@dataclass
+class PyStage:
+    """One stageable python-backed leaf check (element scope)."""
+
+    stage_id: int
+    # doc root -> the array the leaf's element belongs to
+    array: Callable[[Column], Column]
+    array_key: tuple
+    # array element -> the string value the python check consumes
+    extract: Callable[[Column], Column]
+    py_fn: Callable[[str], bool]
+    # top-level element field the extraction reads (scan-pruning hint)
+    touched: Optional[frozenset] = None
 
 
 # --------------------------------------------------------------------------
@@ -80,14 +138,12 @@ class CompiledConstraint:
     # element scope only: doc-root -> array Column
     array: Optional[Callable[[Column], Column]] = None
     array_key: Optional[tuple[str, ...]] = None  # grouping key for fusion
-    # set when pred wraps an Arrow pandas UDF over a string value: the plain
-    # python element-level check.  Spark bans Python UDFs inside HOF lambdas,
-    # so HOF-based plans stage `adapter(transform(arr, observed))` as a
-    # separate projection (planner extracts it to ArrowEvalPython) and the
-    # lambda reads the result by index.  The exploded plans need no staging.
+    # introspection only: the plain python check when this constraint's leaf
+    # is python-backed.  Plans do NOT consult this — the leaf pred resolves
+    # itself through the staging context (see PyStage above), so gates and
+    # combinator wrapping apply identically on staged and direct paths.
     py_fn: Optional[Callable] = None
-    # positional gate folded into pred by tuple forms; mirrored here so the
-    # staged-UDF lookup path can re-apply it ("eq"/"ge", n)
+    # introspection only: positional gate folded into pred by tuple forms
     index_gate: Optional[tuple] = None
     # element scope: the top-level element fields this constraint reads
     # (None = unknown/whole element).  Lets plans project the array down to
@@ -102,6 +158,8 @@ class CompiledSpec:
     valid: Callable[[Column], Column]  # doc root -> boolean (is_valid fast path)
     schema: Any
     table_schema: StructType
+    # python-backed element-leaf checks to stage for HOF plans
+    py_stages: list[PyStage] = field(default_factory=list)
 
 
 @dataclass
@@ -137,6 +195,11 @@ class _Ctx:
     # for scope='element': doc-root -> the array this element belongs to
     array: Optional[Callable[[Column], Column]] = None
     array_key: Optional[tuple[str, ...]] = None
+    # element scope: True when a python-backed leaf here can be staged as an
+    # Arrow adapter column (single array, pure field descent from the
+    # element root).  False inside nested arrays / contains / map values /
+    # propertyNames, where no per-element staged lookup exists.
+    stageable: bool = False
     options: EngineOptions = field(default_factory=EngineOptions)
 
     def cid(self, *extra: str) -> str:
@@ -315,13 +378,10 @@ def _lower_multiple_of(k: Any, dt: DataType) -> Callable[[Column], Column]:
     return pred
 
 
-def _lower_pattern(pat: str) -> Callable[[Column], Column]:
-    java = ecma_to_java(pat)
-    if java is not None:
-        return lambda x: x.rlike(java)
-
-    # Arrow-batched fallback for patterns Java can't express (reference falls
-    # back from its translator similarly, ``ecma.rs``).
+def _pattern_udf(pat: str):
+    """Arrow-batched fallback for patterns Java can't express (reference
+    rejects those at compile time, ``ecma.rs``; we accept the Python-re
+    dialect as an extension when it compiles)."""
     import pandas as pd
 
     @F.pandas_udf(BooleanType())
@@ -332,6 +392,37 @@ def _lower_pattern(pat: str) -> Callable[[Column], Column]:
         return s.map(lambda v: None if v is None else rx.search(v) is not None)
 
     return lambda x: _re_search(x)
+
+
+def _needs_python(schema: Any, options: EngineOptions) -> bool:
+    """Static check: does this subtree contain a python-backed leaf check
+    (untranslatable pattern / UDF format)?  Used to reject such leaves in
+    positions where their predicate would end up inside an HOF lambda with
+    no staged column to read (nested arrays, contains, map values)."""
+    from jsonschema_rs_spark.functions.formats import FORMATS_PY
+
+    if not isinstance(schema, dict):
+        return False
+    pat = schema.get("pattern")
+    if isinstance(pat, str) and ecma_to_java(pat) is None:
+        return True
+    fmt = schema.get("format")
+    if (
+        options.validate_formats
+        and fmt in FORMATS_PY
+        and fmt not in options.custom_formats
+    ):
+        return True
+    for k, v in schema.items():
+        if k in ("enum", "const"):
+            continue
+        if isinstance(v, dict) and _needs_python(v, options):
+            return True
+        if isinstance(v, list) and any(
+            isinstance(s, dict) and _needs_python(s, options) for s in v
+        ):
+            return True
+    return False
 
 
 def _claimed_props(schema: Any) -> tuple[set, list, bool]:
@@ -406,6 +497,52 @@ class Lowerer:
     def __init__(self, table_schema: StructType, options: EngineOptions):
         self.table_schema = table_schema
         self.options = options
+        self.stages: list[PyStage] = []
+
+    # -- python-backed leaves ---------------------------------------------
+    def _py_pred(self, ctx: _Ctx, py_fn: Callable[[str], bool],
+                 udf_builder: Callable[[Column], Column],
+                 what: str) -> Callable[..., Column]:
+        """Predicate for a python-backed leaf check.
+
+        - doc scope: the Arrow UDF runs in the plain projection — legal.
+        - element scope, stageable: register a PyStage; when a staging
+          context is active at plan-build time (HOF plans) the leaf resolves
+          to ``element_at(staged_col, i+1)``; otherwise (exploded plans,
+          which evaluate preds in plain post-explode projections) it calls
+          the UDF directly.
+        - element scope, not stageable: no legal evaluation site exists
+          (the pred would sit inside an HOF lambda) → SpecError at compile
+          time, mirroring the reference's compile-time rejection
+          (``ecma.rs``) instead of a runtime AnalysisException.
+        """
+        if ctx.scope != "element":
+            return lambda x, *i: udf_builder(x)
+        if not ctx.stageable:
+            raise SpecError(
+                f"python-backed check ({what}) at {ctx.cid()} sits in a "
+                "position with no staged-column evaluation site (nested "
+                "array, contains, map values, or property names); use a "
+                "Column-expressible pattern/format here, or restructure the "
+                "schema so the check applies within one span-array element"
+            )
+        sid = len(self.stages)
+        self.stages.append(PyStage(
+            stage_id=sid,
+            array=ctx.array,
+            array_key=ctx.array_key,
+            extract=self._array_accessor(ctx.dpath),
+            py_fn=py_fn,
+            touched=frozenset({ctx.dpath[0]}) if ctx.dpath else None,
+        ))
+
+        def pred(x: Column, *i) -> Column:
+            name = _stage_lookup(sid)
+            if name is not None and len(i) == 1:
+                return F.element_at(F.col(name), (i[0] + 1).cast("int"))
+            return udf_builder(x)
+
+        return pred
 
     # -- entry ----------------------------------------------------------
     def lower_root(self, schema: Any) -> _Lowered:
@@ -494,13 +631,26 @@ class Lowerer:
                      self._lift(obs))
             if "pattern" in schema:
                 pat = schema["pattern"]
-                emit(ctx.cid("pattern"),
-                     self._lift(_lower_pattern(pat)),
-                     self._lift(obs))
-                if ecma_to_java(pat) is None:
-                    import re as _re2
-                    _rx = _re2.compile(pat)
-                    out[-1].py_fn = lambda v, _r=_rx: _r.search(v) is not None
+                java = ecma_to_java(pat)
+                if java is not None:
+                    emit(ctx.cid("pattern"),
+                         self._lift(lambda x, _j=java: x.rlike(_j)),
+                         self._lift(obs))
+                else:
+                    # Java rejected it: Python-re fallback, else compile-time
+                    # rejection (reference ``ecma.rs`` — never at runtime)
+                    rx = python_fallback(pat)
+                    if rx is None:
+                        raise SpecError(
+                            f"pattern {pat!r} at {ctx.cid()} compiles in "
+                            "neither java.util.regex nor Python re"
+                        )
+                    py_fn = lambda v, _r=rx: _r.search(v) is not None
+                    emit(ctx.cid("pattern"),
+                         self._py_pred(ctx, py_fn, _pattern_udf(pat),
+                                       "pattern"),
+                         self._lift(obs))
+                    out[-1].py_fn = py_fn
             if "format" in schema and ctx.options.validate_formats:
                 from jsonschema_rs_spark.functions.formats import FORMATS_PY
 
@@ -509,10 +659,14 @@ class Lowerer:
                 if builder is None:
                     if not ctx.options.ignore_unknown_formats:
                         raise SpecError(f"unknown format {fmt!r}")
+                elif fmt in FORMATS_PY and fmt not in ctx.options.custom_formats:
+                    emit(ctx.cid("format"),
+                         self._py_pred(ctx, FORMATS_PY[fmt], builder,
+                                       f"format {fmt!r}"),
+                         self._lift(obs))
+                    out[-1].py_fn = FORMATS_PY[fmt]
                 else:
                     emit(ctx.cid("format"), self._lift(builder), self._lift(obs))
-                    if fmt in FORMATS_PY and fmt not in ctx.options.custom_formats:
-                        out[-1].py_fn = FORMATS_PY[fmt]
             if "contentEncoding" in schema and schema["contentEncoding"] == "base64":
                 emit(ctx.cid("contentEncoding"),
                      self._lift(lambda x: F.try_to_binary(x, F.lit("base64")).isNotNull()),
@@ -573,7 +727,8 @@ class Lowerer:
                              scope=ctx.scope, dpath=ctx.dpath + (name,),
                              elementable=ctx.elementable,
                              array=ctx.array,
-                             array_key=ctx.array_key, options=ctx.options)
+                             array_key=ctx.array_key,
+                             stageable=ctx.stageable, options=ctx.options)
             lowered = self.lower(sub, child_ctx)
 
             def wrap(fn, _name=name):
@@ -606,12 +761,17 @@ class Lowerer:
 
         # patternProperties on a typed struct: field names are static, so
         # the regex match resolves at compile time (reference
-        # ``pattern_properties.rs`` does it per doc).
+        # ``pattern_properties.rs`` does it per doc).  The driver-side
+        # matcher prefers Python re and falls back to the JVM dialect for
+        # Java-valid/Python-invalid patterns (named groups, \\p{L}).
         import re as _re
         for pat, sub in schema.get("patternProperties", {}).items():
-            rx = _re.compile(pat)
+            try:
+                matches = driver_regex_matcher(pat)
+            except ValueError as e:
+                raise SpecError(str(e))
             for name in fields:
-                if rx.search(name):
+                if matches(name):
                     descend(name, sub, ("patternProperties", pat, name))
 
         # required — reference ``keywords/required.rs:16-117`` (per-key
@@ -655,7 +815,8 @@ class Lowerer:
                 sub, _Ctx(dtype=dt, path=ctx.path + ("dependentSchemas", key),
                           scope=ctx.scope, dpath=ctx.dpath,
                           elementable=ctx.elementable, array=ctx.array,
-                          array_key=ctx.array_key, options=ctx.options))
+                          array_key=ctx.array_key,
+                          stageable=ctx.stageable, options=ctx.options))
             def pred(x, *i, _k=key, _v=lowered.valid):
                 return x.getField(_k).isNull() | _v(x, *i)
             out.append(self._mk(ctx, ctx.cid("dependentSchemas", key), pred,
@@ -681,7 +842,10 @@ class Lowerer:
                                 lambda x, *i: _nonnull_count(x).cast("string")))
             valids.append(pred)
 
-        # propertyNames on a typed struct: static field-name check
+        # propertyNames on a typed struct: static field-name check, gated on
+        # member PRESENCE — JSON Schema applies the name schema only to
+        # present members, and absent ≡ NULL under the typed convention
+        # (reference ``keywords/property_names.rs`` iterates actual keys).
         if "propertyNames" in schema:
             sub = schema["propertyNames"]
             name_ctx = _Ctx(dtype=StringType(), path=ctx.path + ("propertyNames",),
@@ -694,10 +858,22 @@ class Lowerer:
             def pred(x, *i, _v=lowered.valid, _names=tuple(fields)):
                 outp = F.lit(True)
                 for nm in _names:
-                    outp = outp & _v(F.lit(nm))
+                    outp = outp & (
+                        x.getField(nm).isNull()
+                        | F.coalesce(_v(F.lit(nm)), F.lit(True))
+                    )
                 return outp
-            out.append(self._mk(ctx, ctx.cid("propertyNames"), pred,
-                                lambda x, *i: F.lit(",".join(fields))))
+            def observed(x, *i, _v=lowered.valid, _names=tuple(fields)):
+                # the present member names whose name-schema failed
+                return F.concat_ws(",", *[
+                    F.when(
+                        x.getField(nm).isNotNull()
+                        & ~F.coalesce(_v(F.lit(nm)), F.lit(True)),
+                        F.lit(nm),
+                    )
+                    for nm in _names
+                ])
+            out.append(self._mk(ctx, ctx.cid("propertyNames"), pred, observed))
             valids.append(pred)
 
         # additionalProperties on a typed struct is enforced by the schema
@@ -711,11 +887,11 @@ class Lowerer:
             sub = schema["unevaluatedProperties"]
             names, pats, all_claimed = _claimed_props(schema)
             if not all_claimed:
-                compiled_pats = [_re.compile(p) for p in pats]
+                compiled_pats = [driver_regex_matcher(p) for p in pats]
                 for fname in fields:
                     if fname in names:
                         continue
-                    if any(rx.search(fname) for rx in compiled_pats):
+                    if any(m(fname) for m in compiled_pats):
                         continue
                     descend(fname, sub, ("unevaluatedProperties", fname))
 
@@ -740,6 +916,27 @@ class Lowerer:
                 emit(ctx.cid("required", key),
                      self._lift(lambda x, _k=key: F.map_contains_key(x, F.lit(_k))),
                      self._lift(lambda x: F.lit("missing")))
+
+        # Map applicators evaluate value schemas inside F.forall lambdas —
+        # python-backed leaves have no legal site there; reject at compile
+        # time (clear SpecError instead of a Spark AnalysisException).
+        # (``properties`` on a map uses plain element_at — no lambda — so
+        # doc-scope python leaves are legal there; element scope is rejected
+        # by _py_pred's stageable check.)
+        for kw in ("propertyNames", "patternProperties",
+                   "additionalProperties", "unevaluatedProperties"):
+            subs = schema.get(kw)
+            if kw == "patternProperties" and isinstance(subs, dict):
+                subs = list(subs.values())  # dict-of-schemas
+            else:
+                subs = [subs]
+            for s in subs:
+                if isinstance(s, dict) and _needs_python(s, ctx.options):
+                    raise SpecError(
+                        f"python-backed check (format/pattern) under map "
+                        f"{kw} at {ctx.cid()} is not supported — map values "
+                        "are evaluated inside array lambdas"
+                    )
 
         # propertyNames — reference ``keywords/property_names.rs``
         if "propertyNames" in schema:
@@ -769,7 +966,13 @@ class Lowerer:
         # patternProperties — reference ``keywords/pattern_properties.rs``
         pat_pairs = []
         for pat, sub in schema.get("patternProperties", {}).items():
-            java = ecma_to_java(pat) or pat
+            java = ecma_to_java(pat)
+            if java is None:
+                raise SpecError(
+                    f"patternProperties key pattern {pat!r} at {ctx.cid()} is "
+                    "not expressible in the Java regex dialect (map keys are "
+                    "matched with rlike inside lambdas — no Python fallback)"
+                )
             lowered = self.lower(
                 sub, _Ctx(dtype=dt.valueType,
                           path=ctx.path + ("patternProperties", pat),
@@ -799,7 +1002,16 @@ class Lowerer:
             if all_claimed:
                 ap_kw = None
             named = tuple(c_names)
-            pats = tuple(ecma_to_java(p) or p for p in c_pats)
+            pats = []
+            for p in c_pats:
+                jp = ecma_to_java(p)
+                if jp is None:
+                    raise SpecError(
+                        f"patternProperties key pattern {p!r} at {ctx.cid()} "
+                        "is not expressible in the Java regex dialect"
+                    )
+                pats.append(jp)
+            pats = tuple(pats)
         if ap_kw is not None:
             ap = schema[ap_kw]
 
@@ -857,6 +1069,12 @@ class Lowerer:
         # contains / minContains / maxContains — reference
         # ``keywords/contains.rs:339-375`` fused variants
         if "contains" in schema:
+            if _needs_python(schema["contains"], ctx.options):
+                raise SpecError(
+                    f"python-backed check (format/pattern) under contains at "
+                    f"{ctx.cid()} is not supported — contains counts matches "
+                    "inside an array lambda"
+                )
             sub_l = self._lower_element_valid(schema["contains"], elem_dt, ctx,
                                               ("contains",))
             min_c = schema.get("minContains", 1)
@@ -932,7 +1150,7 @@ class Lowerer:
             elem_ctx = _Ctx(
                 dtype=elem_dt, path=ctx.path + path_suffix, scope="element",
                 array=self._array_accessor(arr_path), array_key=arr_path,
-                options=self.options)
+                stageable=True, options=self.options)
             lowered = self.lower(sub, elem_ctx)
             for c in lowered.constraints:
                 if index_gate is not None:
@@ -961,6 +1179,14 @@ class Lowerer:
             valids.append(arr_valid)
         else:
             # nested array inside an element: collapse to forall
+            if _needs_python(sub, ctx.options):
+                raise SpecError(
+                    f"python-backed check (format/pattern) inside a nested "
+                    f"array at {ctx.cid(*path_suffix)} is not supported — "
+                    "the element predicate runs inside an array lambda with "
+                    "no staged-column site; apply it on the outer span "
+                    "array, or use a Column-expressible pattern/format"
+                )
             lowered_valid = self._lower_element_valid(sub, elem_dt, ctx,
                                                       path_suffix)
             pred = lambda x, *i, _v=lowered_valid: F.coalesce(
@@ -987,7 +1213,7 @@ class Lowerer:
                 dtype=ctx.dtype, path=ctx.path + ("allOf", str(idx)),
                 scope=ctx.scope, dpath=ctx.dpath, elementable=ctx.elementable,
                 array=ctx.array, array_key=ctx.array_key,
-                options=ctx.options))
+                stageable=ctx.stageable, options=ctx.options))
             out.extend(lowered.constraints)
             valids.append(lowered.valid)
 
@@ -1001,6 +1227,7 @@ class Lowerer:
                                    scope=ctx.scope, dpath=ctx.dpath,
                                    elementable=False, array=ctx.array,
                                    array_key=ctx.array_key,
+                                   stageable=ctx.stageable,
                                    options=ctx.options)).valid
                 for i, s in enumerate(schema["anyOf"])
             ]
@@ -1020,6 +1247,7 @@ class Lowerer:
                                    scope=ctx.scope, dpath=ctx.dpath,
                                    elementable=False, array=ctx.array,
                                    array_key=ctx.array_key,
+                                   stageable=ctx.stageable,
                                    options=ctx.options)).valid
                 for i, s in enumerate(schema["oneOf"])
             ]
@@ -1037,7 +1265,7 @@ class Lowerer:
                 dtype=ctx.dtype, path=ctx.path + ("not",), scope=ctx.scope,
                 dpath=ctx.dpath, elementable=False,
                 array=ctx.array, array_key=ctx.array_key,
-                options=ctx.options)).valid
+                stageable=ctx.stageable, options=ctx.options)).valid
             pred = lambda *a, _v=sub_valid: ~F.coalesce(_v(*a), F.lit(True))
             out.append(self._mk(ctx, ctx.cid("not"), pred, self._lift(obs)))
             valids.append(pred)
@@ -1050,7 +1278,7 @@ class Lowerer:
                 dtype=ctx.dtype, path=ctx.path + ("if",), scope=ctx.scope,
                 dpath=ctx.dpath, elementable=False,
                 array=ctx.array, array_key=ctx.array_key,
-                options=ctx.options))
+                stageable=ctx.stageable, options=ctx.options))
             cond = cond_lowered.valid
             cond_touched = frozenset()
             for cc in cond_lowered.constraints:
@@ -1065,7 +1293,7 @@ class Lowerer:
                     scope=ctx.scope, dpath=ctx.dpath,
                     elementable=ctx.elementable,
                     array=ctx.array, array_key=ctx.array_key,
-                    options=ctx.options))
+                    stageable=ctx.stageable, options=ctx.options))
                 same = all(c.scope == ctx.scope for c in lowered.constraints)
                 def gated_c(cond_v, *a):
                     g = F.coalesce(cond_v, F.lit(False))
@@ -1120,4 +1348,5 @@ def compile_spec(
         valid=lowered.valid,
         schema=resolved,
         table_schema=table_schema,
+        py_stages=lowerer.stages,
     )

@@ -21,6 +21,8 @@ restart-stable.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -88,6 +90,28 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return rng.normal(size=(n_planes, dim)).tolist()
 
 
+def data_hyperplanes(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ids: Sequence[int] = tuple(range(10, 26)),
+) -> list[list[float]]:
+    """Hyperplanes taken from corpus vectors at fixed ids.
+
+    A data-dependent LSH variant whose planes are reproducible from the
+    table alone — which makes the whole signature → band-bucket → rerank
+    pipeline expressible in plain SQL for value-level oracle checks.  For
+    zero-centered embeddings, corpus directions are as locality-sensitive
+    as random gaussians (they ARE draws from the data distribution)."""
+    rows = {
+        r["id"]: r["v"]
+        for r in corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ).filter(F.col(id_col).isin(*list(ids))).collect()
+    }
+    return [[float(x) for x in rows[i]] for i in ids]
+
+
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature: bit p = 1 iff <vec, plane_p> >= 0."""
     bits = [
@@ -119,15 +143,20 @@ def lsh_ann_topk(
     bands: int = 4,
     dim: int | None = None,
     seed: int = 7,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing an LSH band bucket.
 
     Corpus → (band, bucket, id, vec); queries → same buckets, broadcast;
     join on (band, bucket) prunes the candidate set, then exact cosine +
-    rank.  Recall is tunable via n_planes/bands (tested vs cosine_topk)."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+    rank.  Recall is tunable via n_planes/bands (tested vs cosine_topk).
+    Pass ``planes`` explicitly (e.g. ``data_hyperplanes``) to skip the
+    driver-side dim probe and keep the pipeline SQL-reproducible."""
+    if planes is None:
+        if dim is None:
+            dim = len(corpus.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, n_planes, seed)
+    n_planes = len(planes)
     per_band = n_planes // bands
 
     def buckets(df: DataFrame, idc: str) -> DataFrame:
@@ -182,11 +211,11 @@ def lsh_ann_topk(
 
 def _centroids(corpus: DataFrame, id_col: str, vec_col: str,
                n_centroids: int) -> list[tuple[int, list[float]]]:
-    """Deterministic centroid set: the n lowest-id corpus vectors.
+    """Deterministic baseline centroid set: the n lowest-id corpus vectors.
 
-    A k-means refinement would slot in here unchanged (centroids are just
-    driver-side literals); deterministic seeding keeps runs reproducible
-    and restart-stable, which matters more for a validation pipeline."""
+    SQL-expressible by construction, so the IVF pipeline built on it has a
+    full DuckDB value-level oracle.  ``kmeans_centroids`` below is the
+    quality quantizer for production use (same literal-injection shape)."""
     rows = (
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy("id")
@@ -196,14 +225,56 @@ def _centroids(corpus: DataFrame, id_col: str, vec_col: str,
     return [(i, [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    seed: int = 7,
+    sample_n: int = 4096,
+    iters: int = 10,
+) -> list[tuple[int, list[float]]]:
+    """Sampled Lloyd's k-means quantizer, deterministic and restart-stable.
+
+    A fixed-seed corpus sample (one narrow scan, bounded driver memory) is
+    refined with ``iters`` Lloyd steps in numpy on the driver; centroids
+    come back as plain literals, exactly like ``_centroids``, so
+    ``ivf_ann_topk(..., centroids=...)`` is unchanged.  At 100 TB this is
+    the right split: quantizer quality needs only a sample, while bucket
+    ASSIGNMENT (the full-corpus pass) stays distributed.  Pick
+    ``k ≈ sqrt(N)`` for balanced bucket sizes."""
+    frac_rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id").cast("string"), F.lit(seed)))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.array([[float(x) for x in r["v"]] for r in frac_rows])
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        # assign to nearest centroid by max dot (cosine-style IVF)
+        assign = np.argmax(X @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+
+
 def _nearest_centroid_cols(vec: Column, cents) -> Column:
-    """Array of (centroid_id, negative dot product) distances — JVM-side."""
+    """Array of (negative dot product, centroid_id) structs — JVM-side.
+
+    The DISTANCE is the FIRST struct field: Spark orders structs
+    field-by-field, so array_min/array_sort rank by ndot (nearest first)
+    with cid as the deterministic tie-break.  (Round-1 had cid first, which
+    silently degenerated every assignment to bucket 0.)"""
     return F.array(
         *[
             F.struct(
-                F.lit(cid).alias("cid"),
                 (-dot(_as_double(vec),
                       F.array(*[F.lit(x) for x in cv]))).alias("ndot"),
+                F.lit(cid).alias("cid"),
             )
             for cid, cv in cents
         ]
@@ -213,7 +284,7 @@ def _nearest_centroid_cols(vec: Column, cents) -> Column:
 def ivf_assign(df: DataFrame, vec_col: str, cents) -> DataFrame:
     """Add ``bucket`` = argmax dot-product centroid (coarse quantizer)."""
     dists = _nearest_centroid_cols(F.col(vec_col), cents)
-    best = F.array_min(dists)  # struct ordering: min ndot = max dot
+    best = F.array_min(dists)  # min ndot = max dot; cid tie-break
     return df.withColumn("bucket", best.getField("cid"))
 
 
@@ -226,6 +297,7 @@ def ivf_ann_topk(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus bucketed by nearest centroid (one
     narrow pass), queries probe their ``nprobe`` nearest buckets; exact
@@ -233,8 +305,11 @@ def ivf_ann_topk(
 
     Scale shape: the corpus-side cost is one scan + small shuffle on the
     bucket key; query fan-out is nprobe buckets; centroids are driver
-    literals (broadcast implicitly in the expression)."""
-    cents = _centroids(corpus, id_col, vec_col, n_centroids)
+    literals (broadcast implicitly in the expression).  Pass
+    ``centroids=kmeans_centroids(...)`` for the quality quantizer (size it
+    ~sqrt(N)); the default lowest-id baseline is SQL-reproducible for the
+    value-level oracle."""
+    cents = centroids or _centroids(corpus, id_col, vec_col, n_centroids)
     cb = ivf_assign(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col)), vec_col,
         cents,

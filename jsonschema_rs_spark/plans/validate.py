@@ -76,52 +76,34 @@ def _py_adapter(py_fn):
 
 
 def stage_python_checks(df: DataFrame, compiled: CompiledSpec):
-    """Stage Python-UDF element checks as extra array<boolean> columns.
+    """Stage python-backed element-leaf checks as array<boolean> columns.
 
     Spark bans Python UDFs inside HOF lambdas; a separate projection lets
-    the planner extract them into ArrowEvalPython, and the HOF lambdas read
-    the result via ``element_at``.  Returns (staged_df, okmap) where okmap
-    maps ``id(constraint)`` -> staged column name."""
-    okmap: dict[int, str] = {}
+    the planner extract them into ArrowEvalPython.  HOF plans then build
+    their predicate columns inside ``py_stage_context(mapping)`` and every
+    python leaf — however deeply wrapped in gates/combinators — resolves to
+    ``element_at(staged_col, i+1)``.  Returns (staged_df, mapping)."""
+    mapping: dict[int, str] = {}
     staged = df
     root = _root(df)
-    n = 0
-    def _extract_fn(c):
-        def extract(x: Column, i: Column) -> Column:
-            return c.observed(x, i)
-
-        return extract
-
-    for c in compiled.constraints:
-        if c.scope == "element" and c.py_fn is not None:
-            name = f"__pyok_{n}"
-            n += 1
-            staged = staged.withColumn(
-                name,
-                _py_adapter(c.py_fn)(F.transform(c.array(root),
-                                                 _extract_fn(c))),
-            )
-            okmap[id(c)] = name
-    return staged, okmap
-
-
-def _elem_ok(c, x: Column, i: Column, okmap) -> Column:
-    """Per-element OK predicate; staged-UDF constraints read their adapter
-    column (gate re-applied) instead of invoking pred inside the lambda."""
-    if c.py_fn is not None and okmap and id(c) in okmap:
-        ok = F.coalesce(
-            F.element_at(F.col(okmap[id(c)]), (i + 1).cast("int")), F.lit(True)
+    for st in compiled.py_stages:
+        name = f"__pyok_{st.stage_id}"
+        staged = staged.withColumn(
+            name,
+            _py_adapter(st.py_fn)(F.transform(st.array(root), st.extract)),
         )
-        if c.index_gate is not None:
-            kind, n = c.index_gate
-            gate = (i == n) if kind == "eq" else (i >= n)
-            ok = ~gate | ok
-        return ok
+        mapping[st.stage_id] = name
+    return staged, mapping
+
+
+def _elem_ok(c, x: Column, i: Column) -> Column:
+    """Per-element OK predicate.  ``c.pred`` is the FULLY composed/gated
+    expression (if/then gates, index gates, combinators included); python
+    leaves inside it self-resolve through the active staging context."""
     return F.coalesce(c.pred(x, i), F.lit(True))
 
 
-def violations_column(compiled: CompiledSpec, root: Column,
-                      okmap=None) -> Column:
+def violations_column(compiled: CompiledSpec, root: Column) -> Column:
     """Array<violation> column for one document."""
     parts: list[Column] = []
 
@@ -149,7 +131,7 @@ def violations_column(compiled: CompiledSpec, root: Column,
         def per_elem(x: Column, i: Column) -> Column:
             cells = [
                 F.when(
-                    ~_elem_ok(c, x, i, okmap),
+                    ~_elem_ok(c, x, i),
                     _viol_struct(c.constraint_id, i, c.observed(x, i)),
                 )
                 for c in group
@@ -173,7 +155,7 @@ def violations_column(compiled: CompiledSpec, root: Column,
     return out
 
 
-def valid_column(compiled: CompiledSpec, root: Column, okmap=None) -> Column:
+def valid_column(compiled: CompiledSpec, root: Column) -> Column:
     """Boolean verdict without violation allocation (is_valid fast path)."""
     ok = F.lit(True)
     for c in compiled.constraints:
@@ -188,7 +170,7 @@ def valid_column(compiled: CompiledSpec, root: Column, okmap=None) -> Column:
         def elem_ok(x: Column, i: Column) -> Column:
             e = F.lit(True)
             for c in group:
-                e = e & _elem_ok(c, x, i, okmap)
+                e = e & _elem_ok(c, x, i)
             return e
 
         return elem_ok
@@ -211,39 +193,64 @@ def validation_frame(
 ) -> DataFrame:
     """``(id_cols..., keep_cols..., [valid], [violations])`` in one projection
     (plus a staging projection when Python-UDF element checks exist)."""
+    from jsonschema_rs_spark.compiler import py_stage_context
+
     root = _root(df)
-    staged, okmap = stage_python_checks(df, compiled)
+    staged, mapping = stage_python_checks(df, compiled)
     cols = [F.col(c) for c in (*id_cols, *keep_cols)]
-    if mode == "verdicts":
-        cols.append(valid_column(compiled, root, okmap).alias("valid"))
-    elif mode == "violations":
-        cols.append(violations_column(compiled, root, okmap).alias("violations"))
-    elif mode == "both":
-        v = violations_column(compiled, root, okmap)
-        cols.append(v.alias("violations"))
-        cols.append((F.size(v) == 0).alias("valid"))
-    else:
-        raise ValueError(f"unknown mode {mode!r}")
-    return staged.select(*cols)
+    with py_stage_context(mapping):
+        if mode == "verdicts":
+            cols.append(valid_column(compiled, root).alias("valid"))
+        elif mode == "violations":
+            cols.append(violations_column(compiled, root).alias("violations"))
+        elif mode == "both":
+            v = violations_column(compiled, root)
+            cols.append(v.alias("violations"))
+            cols.append((F.size(v) == 0).alias("valid"))
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        return staged.select(*cols)
 
 
 def verdicts(df: DataFrame, compiled: CompiledSpec,
              id_cols: Sequence[str] = ("doc_id",),
-             strategy: str = "hof") -> DataFrame:
-    """Per-doc boolean verdicts.
+             strategy: str = "prefilter") -> DataFrame:
+    """Per-doc-id boolean verdicts.
 
-    strategy='hof' (default): single projection, ZERO shuffle — element
-    predicates run inside array HOFs.  HOF lambdas are interpreted
-    (CodegenFallback), so per-core cost is higher, but nothing moves.
-    Right at cluster scale where a doc-key shuffle is the bigger cost.
+    strategy='prefilter' (DEFAULT): a doc is invalid iff it has ≥1 violating
+    row, so the verdict derives from the whole-stage-codegen ``violations``
+    plan: pre-filtered exploded scan → distinct over VIOLATING ids only →
+    left join marks validity.  The join's build side is proportional to the
+    violation rate (tiny at production pass rates → AQE broadcasts it), and
+    the expensive predicate evaluation stays fully codegen.  Measured ~18x
+    faster per core than 'hof' (BENCH_r01: 31.7s hof vs 1.7s violations on
+    the same input) — the analogue of the reference's cheap ``is_valid``
+    mode (``validator.rs:28-89``), which round 1 had inverted.
 
-    strategy='exploded': whole-stage-codegen explode + hash agg keyed by
-    the doc id (map-side combined booleans).  ~3-5x faster per core
-    locally; shuffles O(docs) tiny (id, bool) pairs.  Right when per-core
-    throughput dominates (few executors, hot data).
+    strategy='exploded': codegen explode + hash agg keyed by the doc id
+    (map-side combined booleans).  Shuffles O(docs·spans) exploded rows into
+    an O(docs) agg; no join.
+
+    strategy='hof': single projection, ZERO shuffle — element predicates run
+    inside array HOFs, which Spark interprets (CodegenFallback) at a 25-40x
+    per-core penalty.  Only right when any shuffle at all is unacceptable;
+    returns PER-ROW verdicts (duplicate ids not merged).
     """
     if strategy == "hof":
         return validation_frame(df, compiled, id_cols, mode="verdicts")
+    if strategy == "prefilter":
+        bad = (
+            violations(df, compiled, id_cols=id_cols)
+            .select(*id_cols)
+            .distinct()
+            .withColumn("_bad", F.lit(True))
+        )
+        return (
+            df.select(*[F.col(c) for c in id_cols])
+            .distinct()
+            .join(bad, list(id_cols), "left")
+            .select(*id_cols, F.col("_bad").isNull().alias("valid"))
+        )
     if strategy != "exploded":
         raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -398,9 +405,20 @@ def violations(df: DataFrame, compiled: CompiledSpec,
                 F.lit(None).cast("int").alias("span_index"),
                 F.lit(None).cast("string").alias("observed"),
             ).limit(0)
-        stacked = df.select(
-            *ids, F.explode(F.array(*doc_cells(root))).alias("v")
-        ).filter(F.col("v").isNotNull())
+        # build the cell array in a projection BELOW the explode so the
+        # CreateStruct(root) collapses there and column pruning reaches the
+        # scan (a generator expression blocks SimplifyExtractValueOps)
+        doc_any = F.lit(False)
+        for c in doc_cs:
+            doc_any = doc_any | ~F.coalesce(c.pred(root), F.lit(True))
+        stacked = (
+            df.select(*ids, doc_any.alias("_any"),
+                      F.array(*doc_cells(root)).alias("_vs"))
+            .filter(F.col("_any"))
+            .select(*[F.col(c) for c in id_cols],
+                    F.explode(F.col("_vs")).alias("v"))
+            .filter(F.col("v").isNotNull())
+        )
         branches = [stacked]
 
     out = branches[0]

