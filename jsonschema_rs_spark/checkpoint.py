@@ -72,11 +72,17 @@ def finished_partitions(manifest_dir: str) -> dict[int, PartitionEntry]:
 
 
 def resume_filter(df: DataFrame, part_col: str, manifest_dir: str) -> DataFrame:
-    """Prune finished partitions (partition-prunable predicate)."""
-    done = sorted(finished_partitions(manifest_dir))
+    """Prune finished partitions (partition-prunable predicate).
+
+    NULL-safe: ``~isin(done)`` evaluates to NULL for a NULL partition key,
+    which a plain filter silently drops — rows with no partition key would
+    skip validation on every resume without ever appearing in the manifest.
+    They are explicitly retained (they can never be marked done)."""
+    done = sorted(k for k in finished_partitions(manifest_dir)
+                  if k is not None)
     if not done:
         return df
-    return df.filter(~F.col(part_col).isin(done))
+    return df.filter(~F.col(part_col).isin(done) | F.col(part_col).isNull())
 
 
 def run_resumable_validation(
@@ -96,7 +102,7 @@ def run_resumable_validation(
     Driver-side loop cost is O(#logical partitions), which is small by
     design (the manifest is per Iceberg partition, not per task).
     """
-    from jsonschema_rs_spark.plans.validate import partition_rollup, violations
+    from jsonschema_rs_spark.plans.validate import violations
 
     done = finished_partitions(manifest_dir)
     parts = [
@@ -104,36 +110,48 @@ def run_resumable_validation(
         for r in df.select(part_col).distinct().collect()
         if r[0] not in done
     ]
+    if any(pk is None for pk in parts):
+        raise ValueError(
+            f"NULL {part_col!r} partition keys found: a NULL key cannot be "
+            "tracked in the resume manifest — repair or bucket them first "
+            "(e.g. coalesce(part_col, -1))"
+        )
+    spark = df.sparkSession
     for pk in sorted(parts):
         # partition-prunable predicate: on an Iceberg/parquet table
         # partitioned by part_col this reads ONLY partition pk
         pdf = df.filter(F.col(part_col) == pk)
+        out_path = os.path.join(out_dir, f"part={pk}")
+        # scan 1 (the heavy one): the codegen violations plan -> parquet
         viol = violations(pdf, compiled, id_cols=id_cols)
-        viol.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"part={pk}")
-        )
-        roll = partition_rollup(pdf, compiled, part_col,
-                                id_cols=id_cols).collect()
-        stats = (
-            roll[0]
-            if roll
-            else {"docs": 0, "valid_docs": 0, "violation_rows": 0}
-        )
+        viol.write.mode("overwrite").parquet(out_path)
+        # scan 2 (narrow: id + sketch columns only): doc count + mergeable
+        # HLL state in ONE agg; the violation counters come from the just-
+        # written (violations-sized) parquet instead of a third full scan.
+        aggs = [F.count(F.lit(1)).alias("_docs")]
+        aggs += [F.hll_sketch_agg(F.col(c)).alias(c) for c in sketch_cols]
+        srow = pdf.agg(*aggs).collect()[0]
+        docs = srow["_docs"]
         sketches = None
         if sketch_cols:
-            srow = pdf.agg(
-                *[F.hll_sketch_agg(F.col(c)).alias(c) for c in sketch_cols]
-            ).collect()[0]
             sketches = {
                 c: base64.b64encode(bytes(srow[c])).decode()
                 for c in sketch_cols
             }
+        vrow = (
+            spark.read.parquet(out_path)
+            .agg(
+                F.count(F.lit(1)).alias("vr"),
+                F.count_distinct(*[F.col(c) for c in id_cols]).alias("bad"),
+            )
+            .collect()[0]
+        )
         entry = PartitionEntry(
             part_key=pk,
-            docs=stats["docs"],
-            valid_docs=stats["valid_docs"] or 0,
-            violation_rows=stats["violation_rows"] or 0,
-            passed=(stats["valid_docs"] or 0) == stats["docs"],
+            docs=docs,
+            valid_docs=docs - (vrow["bad"] or 0),
+            violation_rows=vrow["vr"] or 0,
+            passed=(vrow["bad"] or 0) == 0,
             lineage=lineage,
             sketches_b64=sketches,
         )

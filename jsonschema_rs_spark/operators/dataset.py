@@ -235,23 +235,39 @@ def ks_drift(
     part_col: str,
     n_bins: int = 64,
     threshold: float = 0.15,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Approximate two-sample KS per partition vs the global distribution.
 
     Exact KS needs a full sort; at scale we bin the numeric column into
     equi-width buckets (one agg), build per-partition and global CDFs over
     the bucket histogram, and take the max CDF gap.  Bin count bounds the
-    approximation error at 1/n_bins."""
-    lo_hi = df.agg(
-        F.min(num_col).alias("lo"), F.max(num_col).alias("hi")
-    ).collect()[0]
-    lo, hi = float(lo_hi["lo"]), float(lo_hi["hi"])
-    width = (hi - lo) / n_bins or 1.0
+    approximation error at 1/n_bins.
+
+    ``bounds=(lo, hi)`` bins against KNOWN bounds (e.g. from the x-dataset
+    spec section) — the whole statistic is then ONE scan of (part, num).
+    Without bounds, lo/hi come from a broadcast 1-row min/max aggregate
+    (still lazy — no ``collect`` — but a second narrow scan of num_col;
+    at 100 TB pass spec bounds)."""
+    if bounds is not None:
+        lo_c = F.lit(float(bounds[0]))
+        hi_c = F.lit(float(bounds[1]))
+        base = df.select(F.col(part_col), F.col(num_col))
+    else:
+        mm = df.agg(
+            F.min(num_col).cast("double").alias("_lo"),
+            F.max(num_col).cast("double").alias("_hi"),
+        )
+        base = df.select(F.col(part_col), F.col(num_col)).crossJoin(
+            F.broadcast(mm))
+        lo_c, hi_c = F.col("_lo"), F.col("_hi")
+    width = (hi_c - lo_c) / F.lit(float(n_bins))
+    width = F.when(width == 0, F.lit(1.0)).otherwise(width)
     bucket = F.least(
         F.lit(n_bins - 1),
-        F.floor((F.col(num_col) - F.lit(lo)) / F.lit(width)),
+        F.floor((F.col(num_col) - lo_c) / width),
     ).alias("bucket")
-    hist = df.select(F.col(part_col), bucket).groupBy(part_col, "bucket").agg(
+    hist = base.select(F.col(part_col), bucket).groupBy(part_col, "bucket").agg(
         F.count(F.lit(1)).alias("n")
     )
     hist = hist.cache()

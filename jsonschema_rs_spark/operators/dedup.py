@@ -31,19 +31,27 @@ from jsonschema_rs_spark.functions.text import fingerprint, normalize
 # exact dedup
 # --------------------------------------------------------------------------
 
-def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Groups of identical (normalized) documents: ``(fingerprint,
-    n_dups, keep_id, dup_ids)``. One combinable shuffle on the fingerprint."""
-    return (
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str,
+                     sample_ids: int = 0) -> DataFrame:
+    """Groups of identical (normalized) documents: ``(fingerprint, n_dups,
+    keep_id[, dup_ids])``.  One combinable shuffle on the fingerprint.
+
+    The default output carries only BOUNDED aggregation state (count + min):
+    at 100 TB a degenerate fingerprint (empty docs, boilerplate) can have
+    millions of members, and a ``collect_list`` of their ids is one reducer
+    OOM.  Pass ``sample_ids=k`` to additionally emit up to k member ids
+    (explicitly capped, for triage UIs — not for pipeline joins)."""
+    base = (
         df.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(
             F.count(F.lit(1)).alias("n_dups"),
             F.min("id").alias("keep_id"),
-            F.sort_array(F.collect_list("id")).alias("dup_ids"),
+            *([F.slice(F.sort_array(F.collect_list("id")), 1, sample_ids)
+               .alias("dup_ids")] if sample_ids else []),
         )
-        .filter(F.col("n_dups") > 1)
     )
+    return base.filter(F.col("n_dups") > 1)
 
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -101,6 +109,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    df_cap: int | float = 100,
 ) -> DataFrame:
     """Near-dup pairs by exact word-shingle Jaccard ≥ threshold.
 
@@ -108,19 +117,25 @@ def ngram_jaccard_pairs(
     shingle → count shared).  |A∩B| comes from the join; |A|,|B| broadcast
     back; Jaccard = inter / (|A|+|B|-inter).  The shuffle key is the shingle,
     so hot shingles are the skew risk — mitigated by dropping shingles above
-    a document-frequency cap (they carry no discriminative signal)."""
+    a document-frequency cap (they carry no discriminative signal).
+
+    ``df_cap``: absolute when an int (default 100, oracle-reproducible);
+    a float < 1 is RELATIVE — max(100, df_cap × n_docs) — which is the right
+    setting for real corpora where "appears in 1% of documents" is the
+    stopword-gram criterion regardless of corpus size (costs one count)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), n).alias("shingles"),
     )
+    if isinstance(df_cap, float) and df_cap < 1:
+        df_cap = max(100, int(df_cap * sh.count()))
     sizes = sh.select("id", F.size("shingles").alias("n_sh")).filter(
         F.col("n_sh") > 0
     )
     inv = sh.select("id", F.explode("shingles").alias("shingle"))
-    # df-cap: a shingle present in >1% of docs (min 100) is a stopword-gram
-    df_cap = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    df_freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     inv = inv.join(
-        F.broadcast(df_cap.filter(F.col("df_") > 100).select("shingle")),
+        F.broadcast(df_freq.filter(F.col("df_") > df_cap).select("shingle")),
         "shingle",
         "left_anti",
     )

@@ -74,6 +74,41 @@ def test_ks_flags_planted_shift(spark):
     assert sum(1 for r in rows.values() if r["drifted"]) <= 3
 
 
+def test_ks_with_spec_bounds_single_scan_same_result(spark, tmp_path):
+    """With spec-provided bounds the KS plan must scan the input ONCE (no
+    min/max pre-pass), and agree with the data-derived-bounds variant when
+    the bounds match the data."""
+    path = str(tmp_path / "fs.parquet")
+    flat_spans(spark, SF).write.mode("overwrite").parquet(path)
+    fs = spark.read.parquet(path)
+    lo, hi = fs.agg(F.min("offset"), F.max("offset")).collect()[0]
+    bounded = DS.ks_drift(fs, "offset", "part_key", bounds=(float(lo), float(hi)))
+    derived = DS.ks_drift(fs, "offset", "part_key")
+    # bounds remove the min/max pre-pass entirely: fewer scans, no extra agg
+    n_bounded = bounded._jdf.queryExecution().executedPlan().toString().count(
+        "FileScan")
+    n_derived = derived._jdf.queryExecution().executedPlan().toString().count(
+        "FileScan")
+    assert n_bounded < n_derived, (n_bounded, n_derived)
+    a = {(r["part_key"], round(r["ks_stat"], 9)) for r in bounded.collect()}
+    b = {(r["part_key"], round(r["ks_stat"], 9)) for r in derived.collect()}
+    assert a == b
+
+
+def test_exact_duplicates_bounded_state(spark):
+    from jsonschema_rs_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(i, "same text") for i in range(50)] + [(99, "unique")],
+        "doc_id bigint, text string")
+    out = DD.exact_duplicates(df, "doc_id", "text")
+    assert "dup_ids" not in out.columns  # default carries bounded agg state
+    row = out.collect()[0]
+    assert row["n_dups"] == 50 and row["keep_id"] == 0
+    sampled = DD.exact_duplicates(df, "doc_id", "text", sample_ids=5).collect()[0]
+    assert sampled["dup_ids"] == [0, 1, 2, 3, 4]
+
+
 def test_column_stats_verdicts(spark):
     fs = flat_spans(spark, SF)
     cons = [

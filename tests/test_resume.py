@@ -83,3 +83,29 @@ def test_resume_revalidates_only_unfinished(spark, dirs, tmp_path):
     exact = df.select(F.countDistinct("doc_id")).collect()[0][0]
     assert abs(est - exact) / exact <= 0.05
     df.unpersist()
+
+
+def test_resume_filter_keeps_null_partition_keys(spark, dirs):
+    """ADVICE round-1: ~isin(done) is NULL for NULL keys and a plain filter
+    silently DROPS them on resume — never-validated rows would be skipped
+    forever.  NULL-keyed rows must survive the prune."""
+    manifest_dir, _ = dirs
+    CP.write_entry(manifest_dir, CP.PartitionEntry(
+        part_key=0, docs=1, valid_docs=1, violation_rows=0, passed=True,
+        lineage="x"))
+    df = spark.createDataFrame(
+        [("a", 0), ("b", 1), ("c", None)], "doc_id string, part_key int")
+    kept = {r["doc_id"] for r in
+            CP.resume_filter(df, "part_key", manifest_dir).collect()}
+    assert kept == {"b", "c"}
+
+
+def test_resumable_run_rejects_null_partition_keys(spark, dirs):
+    manifest_dir, out_dir = dirs
+    df = spark.createDataFrame(
+        [("a", None)], "doc_id string, part_key int")
+    compiled = compile_spec({"properties": {"doc_id": {"minLength": 1}}},
+                            df.schema)
+    with pytest.raises(ValueError, match="NULL"):
+        CP.run_resumable_validation(df, compiled, "part_key", manifest_dir,
+                                    out_dir)
