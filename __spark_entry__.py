@@ -166,6 +166,23 @@ def q_kw_format_date(spark, sf_dir):
     return violations(ev, compile_spec(spec, ev.schema), id_cols=("event_id",))
 
 
+def q_kw_content(spark, sf_dir):
+    """contentEncoding/contentMediaType over deterministically planted
+    corruption (VERDICT r01 #10: the only implemented keywords with no
+    driver-oracle evidence)."""
+    b64 = F.base64(F.encode(F.substring("text", 1, 8), "utf-8"))
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit("!!"), b64))
+        .otherwise(b64).alias("b64"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("{broken"))
+        .otherwise(F.lit('{"k": 1}')).alias("js"),
+    )
+    spec = {"properties": {"b64": {"contentEncoding": "base64"},
+                           "js": {"contentMediaType": "application/json"}}}
+    return violations(d, compile_spec(spec, d.schema))
+
+
 def q_ds_stats_bounds(spark, sf_dir):
     fs = flat_spans(spark, sf_dir)
     return fs.groupBy("part_key").agg(
@@ -307,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_unique_items": q_kw_unique_items,
         "kw_map_props": q_kw_map_props,
         "kw_format_date": q_kw_format_date,
+        "kw_content": q_kw_content,
         "ds_stats_bounds": q_ds_stats_bounds,
         "ds_unique": q_ds_unique,
         "ds_ref_integrity": q_ds_ref_integrity,
@@ -464,6 +482,19 @@ SELECT event_id, 'd/format' AS constraint_id,
        CAST(NULL AS INTEGER) AS span_index,
        '2024-13-45' AS observed
 FROM events WHERE event_id % 10 = 0
+""",
+        "kw_content": """
+WITH b AS (
+    SELECT doc_id, to_base64(encode(substr(text, 1, 8))) AS b64
+    FROM documents
+)
+SELECT doc_id, 'b64/contentEncoding' AS constraint_id,
+       CAST(NULL AS INTEGER) AS span_index,
+       '!!' || b64 AS observed
+FROM b WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id, 'js/contentMediaType', CAST(NULL AS INTEGER), '{broken'
+FROM documents WHERE doc_id % 5 = 0
 """,
         "ds_stats_bounds": SPANS_CTE_SQL + """
 SELECT part_key,

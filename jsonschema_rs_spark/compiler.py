@@ -173,8 +173,17 @@ class EngineOptions:
     custom_formats: dict[str, Callable[[Column], Column]] = field(default_factory=dict)
     # uri -> schema dict: extra $ref-addressable resources, supplied on the
     # driver (the registry analogue, ``registry.rs:103-261``; retrieval is
-    # always ahead-of-time — never on executors)
+    # always ahead-of-time — never on executors; see ``retriever.fetch_
+    # resources`` for the ahead-of-time URL fetcher analogue of
+    # ``retriever.rs``)
     resources: dict[str, Any] = field(default_factory=dict)
+    # name -> (string Column -> boolean Column): custom contentEncoding /
+    # contentMediaType checks (reference ``options.rs:137-258``); built-ins
+    # (base64, application/json) can be overridden by name.
+    custom_encodings: dict[str, Callable[[Column], Column]] = field(
+        default_factory=dict)
+    custom_media_types: dict[str, Callable[[Column], Column]] = field(
+        default_factory=dict)
 
 
 # --------------------------------------------------------------------------
@@ -667,14 +676,26 @@ class Lowerer:
                     out[-1].py_fn = FORMATS_PY[fmt]
                 else:
                     emit(ctx.cid("format"), self._lift(builder), self._lift(obs))
-            if "contentEncoding" in schema and schema["contentEncoding"] == "base64":
-                emit(ctx.cid("contentEncoding"),
-                     self._lift(lambda x: F.try_to_binary(x, F.lit("base64")).isNotNull()),
-                     self._lift(obs))
-            if "contentMediaType" in schema and schema["contentMediaType"] == "application/json":
-                emit(ctx.cid("contentMediaType"),
-                     self._lift(lambda x: self._json_parseable(x)),
-                     self._lift(obs))
+            # content keywords: built-in base64 / application/json (matching
+            # the reference defaults, ``content_encoding.rs:10-30``) plus
+            # registration hooks mirroring ``options.rs:137-258``; unknown
+            # names are annotations (as in the reference).
+            if "contentEncoding" in schema:
+                enc = schema["contentEncoding"]
+                builder = ctx.options.custom_encodings.get(enc) or (
+                    (lambda x: F.try_to_binary(x, F.lit("base64")).isNotNull())
+                    if enc == "base64" else None)
+                if builder is not None:
+                    emit(ctx.cid("contentEncoding"), self._lift(builder),
+                         self._lift(obs))
+            if "contentMediaType" in schema:
+                mt = schema["contentMediaType"]
+                builder = ctx.options.custom_media_types.get(mt) or (
+                    (lambda x: self._json_parseable(x))
+                    if mt == "application/json" else None)
+                if builder is not None:
+                    emit(ctx.cid("contentMediaType"), self._lift(builder),
+                         self._lift(obs))
 
         # ---- object keywords --------------------------------------------
         if isinstance(dt, StructType):

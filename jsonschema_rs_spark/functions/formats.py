@@ -58,6 +58,47 @@ def _date(c: Column) -> Column:
     return c.rlike(_DATE_RE) & F.try_to_date(c, "yyyy-MM-dd").isNotNull()
 
 
+def _offset_minutes(off: Column) -> Column:
+    """Signed minutes for a ``Z``/``±hh:mm`` offset string."""
+    return F.when(F.upper(off) == "Z", F.lit(0)).otherwise(
+        F.when(F.substring(off, 1, 1) == "+", F.lit(1)).otherwise(F.lit(-1))
+        * (
+            F.substring(off, 2, 2).cast("int") * 60
+            + F.substring(off, 5, 2).cast("int")
+        )
+    )
+
+
+def _leap_second_ok(hh: Column, mm: Column, ss: Column, off: Column) -> Column:
+    """RFC 3339 / reference semantics (``format.rs:96-288``): seconds ``60``
+    is a leap second, valid ONLY when the offset-adjusted time of day is
+    exactly 23:59:60 UTC."""
+    utc_min = F.pmod(hh.cast("int") * 60 + mm.cast("int")
+                     - _offset_minutes(off), F.lit(1440))
+    return (ss != "60") | (utc_min == 1439)
+
+
+def _datetime(c: Column) -> Column:
+    """Calendar-correct date-time: regex shape + real calendar date (rejects
+    2024-02-30) + leap-second rule — all Column algebra, codegen-side."""
+    shape = c.rlike(_DATETIME_RE)
+    cal = F.try_to_date(F.substring(c, 1, 10), "yyyy-MM-dd").isNotNull()
+    hh = F.regexp_extract(c, r"[Tt](\d{2})", 1)
+    mm = F.regexp_extract(c, r"[Tt]\d{2}:(\d{2})", 1)
+    ss = F.regexp_extract(c, r"[Tt]\d{2}:\d{2}:(\d{2})", 1)
+    off = F.regexp_extract(c, r"([Zz]|[+-]\d{2}:\d{2})$", 1)
+    return shape & cal & _leap_second_ok(hh, mm, ss, off)
+
+
+def _time(c: Column) -> Column:
+    shape = c.rlike(_TIME_RE)
+    hh = F.substring(c, 1, 2)
+    mm = F.substring(c, 4, 2)
+    ss = F.substring(c, 7, 2)
+    off = F.regexp_extract(c, r"([Zz]|[+-]\d{2}:\d{2})$", 1)
+    return shape & _leap_second_ok(hh, mm, ss, off)
+
+
 # ------------------------------------------------------- pandas-UDF formats
 
 @F.pandas_udf(BooleanType())
@@ -110,8 +151,8 @@ def _idn_hostname_udf(s: pd.Series) -> pd.Series:
 
 FORMATS: dict[str, Callable[[Column], Column]] = {
     "date": _date,
-    "date-time": lambda c: c.rlike(_DATETIME_RE),
-    "time": _rx(_TIME_RE),
+    "date-time": _datetime,
+    "time": _time,
     "duration": lambda c: c.rlike(_DURATION_RE) & (c != F.lit("P")) & ~c.endswith("T"),
     "email": _rx(_EMAIL_RE),
     "idn-email": _rx(_EMAIL_RE),

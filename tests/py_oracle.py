@@ -198,6 +198,28 @@ def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list
                         if i >= n_prefix:
                             out.extend(_tag_index(_errors(
                                 sval, v, path + ("unevaluatedItems",)), i))
+        elif kw == "contentEncoding":
+            if sval == "base64" and isinstance(value, str):
+                # java.util.Base64 semantics (what Spark's try_to_binary
+                # uses): padding optional, but when present must complete a
+                # quad; '=' only at the end; remainder-1 bodies invalid
+                body = value.rstrip("=")
+                pads = len(value) - len(body)
+                rem = len(body) % 4
+                ok = (
+                    re.fullmatch(r"[A-Za-z0-9+/]*", body) is not None
+                    and pads <= 2
+                    and rem != 1
+                    and (pads == 0 or (rem + pads) % 4 == 0)
+                )
+                if not ok:
+                    fail("contentEncoding")
+        elif kw == "contentMediaType":
+            if sval == "application/json" and isinstance(value, str):
+                try:
+                    json.loads(value)
+                except ValueError:
+                    fail("contentMediaType")
         elif kw == "propertyNames":
             # applies to PRESENT members only (absent ≡ None)
             if isinstance(value, dict):
@@ -263,11 +285,34 @@ def _check_format(fmt: str, v: str) -> bool:
                 and not v.endswith("T"))
     if fmt == "hostname":
         return len(v) <= 253 and bool(re.search(FM._HOSTNAME_RE, v))
+    def _leap_ok(hh, mm, ss, off):
+        if ss != "60":
+            return True
+        if off.upper() == "Z":
+            offmin = 0
+        else:
+            offmin = (1 if off[0] == "+" else -1) * (
+                int(off[1:3]) * 60 + int(off[4:6]))
+        return (int(hh) * 60 + int(mm) - offmin) % 1440 == 23 * 60 + 59
+
+    if fmt == "date-time":
+        if not re.search(FM._DATETIME_RE, v):
+            return False
+        try:
+            date.fromisoformat(v[:10])
+        except ValueError:
+            return False
+        m = re.search(r"[Tt](\d{2}):(\d{2}):(\d{2})", v)
+        o = re.search(r"([Zz]|[+-]\d{2}:\d{2})$", v)
+        return _leap_ok(m.group(1), m.group(2), m.group(3), o.group(1))
+    if fmt == "time":
+        if not re.search(FM._TIME_RE, v):
+            return False
+        o = re.search(r"([Zz]|[+-]\d{2}:\d{2})$", v)
+        return _leap_ok(v[0:2], v[3:5], v[6:8], o.group(1))
     rx = {
         "uuid": FM._UUID_RE,
         "email": FM._EMAIL_RE,
-        "date-time": FM._DATETIME_RE,
-        "time": FM._TIME_RE,
         "json-pointer": FM._JSON_POINTER_RE,
         "relative-json-pointer": FM._REL_JSON_POINTER_RE,
         "uri": FM._URI_RE,

@@ -92,6 +92,51 @@ def test_custom_keyword_and_format(spark):
     assert got == {"ABCD": True, "abc": False}
 
 
+def test_custom_content_encoding_and_media_type(spark):
+    """Registration hooks mirroring reference options.rs:137-258."""
+    opts = EngineOptions(
+        custom_encodings={"hex": lambda c: c.rlike("^([0-9a-fA-F]{2})*$")},
+        custom_media_types={"text/csv": lambda c: c.contains(",")},
+    )
+    spec = {"properties": {"doc_id": {"contentEncoding": "hex",
+                                      "contentMediaType": "text/csv"}}}
+    df = spark.createDataFrame([("6162,63",), ("zz",)], "doc_id string")
+    c = compile_spec(spec, df.schema, opts)
+    assert {x.constraint_id for x in c.constraints} == {
+        "doc_id/contentEncoding", "doc_id/contentMediaType"}
+    got = {r["doc_id"]: r["valid"]
+           for r in validation_frame(df, c, id_cols=("doc_id",),
+                                     mode="verdicts").collect()}
+    assert got["zz"] is False        # not hex pairs, no comma
+    assert got["6162,63"] is False   # csv ok but ',' breaks hex
+    # unknown names stay annotations (reference behavior)
+    c2 = compile_spec({"properties": {"doc_id": {
+        "contentEncoding": "zstd"}}}, df.schema)
+    assert c2.constraints == []
+
+
+def test_retriever_feeds_resources(spark):
+    """Driver-side ahead-of-time fetch -> EngineOptions.resources -> $ref."""
+    import json as _json
+
+    from jsonschema_rs_spark.retriever import fetch_resources
+
+    docs = {"https://example.com/pos.json": _json.dumps(
+        {"properties": {"offset": {"minimum": 0}}})}
+    res = fetch_resources(docs, fetcher=lambda u: docs[u])
+    opts = EngineOptions(resources=res)
+    spec = {"properties": {"spans": {"items": {
+        "$ref": "https://example.com/pos.json"}}}}
+    c = compile_spec(spec, SPAN_TABLE_SCHEMA, opts)
+    assert any("minimum" in x.constraint_id for x in c.constraints)
+    with pytest.raises(SpecError, match="retrieve"):
+        fetch_resources(["https://example.com/missing.json"],
+                        fetcher=lambda u: (_ for _ in ()).throw(OSError("404")))
+    with pytest.raises(SpecError, match="JSON"):
+        fetch_resources(["https://example.com/bad.json"],
+                        fetcher=lambda u: "not json")
+
+
 def test_map_applicators(spark):
     df = spark.createDataFrame(
         [("a", {"k1": 1, "k2": 50}), ("b", {"bad key": 2}),
