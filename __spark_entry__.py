@@ -166,6 +166,20 @@ def q_kw_format_date(spark, sf_dir):
     return violations(ev, compile_spec(spec, ev.schema), id_cols=("event_id",))
 
 
+def q_apply_basic(spark, sf_dir):
+    """Basic-output error units with JSON-Pointer locations + typed kinds
+    (reference apply().basic(), output.rs:104-200; VERDICT r01 #6)."""
+    from jsonschema_rs_spark.plans.validate import basic_output
+
+    df = derive_spans(spark, sf_dir)
+    spec = _span_spec({"items": {"properties": {
+        "kind": {"enum": ["text", "image", "audio"]},
+        "text": {"minLength": 4},
+        "offset": {"minimum": 0, "multipleOf": 8},
+    }}})
+    return basic_output(df, compile_spec(spec, df.schema))
+
+
 def q_kw_content(spark, sf_dir):
     """contentEncoding/contentMediaType over deterministically planted
     corruption (VERDICT r01 #10: the only implemented keywords with no
@@ -325,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_map_props": q_kw_map_props,
         "kw_format_date": q_kw_format_date,
         "kw_content": q_kw_content,
+        "apply_basic": q_apply_basic,
         "ds_stats_bounds": q_ds_stats_bounds,
         "ds_unique": q_ds_unique,
         "ds_ref_integrity": q_ds_ref_integrity,
@@ -482,6 +497,46 @@ SELECT event_id, 'd/format' AS constraint_id,
        CAST(NULL AS INTEGER) AS span_index,
        '2024-13-45' AS observed
 FROM events WHERE event_id % 10 = 0
+""",
+        "apply_basic": SPANS_CTE_SQL + """
+SELECT doc_id, FALSE AS valid,
+       '/properties/spans/items/properties/kind/enum' AS keyword_location,
+       '/spans/' || span_index || '/kind' AS instance_path,
+       'Enum' AS kind,
+       'spans/items/kind/enum' AS constraint_id, span_index,
+       kind AS observed,
+       'value ''' || kind || ''' violates enum (spans/items/kind/enum)'
+           || ' at span ' || span_index AS message
+FROM spans WHERE kind NOT IN ('text', 'image', 'audio')
+UNION ALL
+SELECT doc_id, FALSE,
+       '/properties/spans/items/properties/text/minLength',
+       '/spans/' || span_index || '/text',
+       'MinLength',
+       'spans/items/text/minLength', span_index, text,
+       'value ''' || text || ''' violates minLength '
+           || '(spans/items/text/minLength) at span ' || span_index
+FROM spans WHERE text IS NOT NULL AND len(text) < 4
+UNION ALL
+SELECT doc_id, FALSE,
+       '/properties/spans/items/properties/offset/minimum',
+       '/spans/' || span_index || '/offset',
+       'Minimum',
+       'spans/items/offset/minimum', span_index,
+       CAST("offset" AS VARCHAR),
+       'value ''' || "offset" || ''' violates minimum '
+           || '(spans/items/offset/minimum) at span ' || span_index
+FROM spans WHERE "offset" < 0
+UNION ALL
+SELECT doc_id, FALSE,
+       '/properties/spans/items/properties/offset/multipleOf',
+       '/spans/' || span_index || '/offset',
+       'MultipleOf',
+       'spans/items/offset/multipleOf', span_index,
+       CAST("offset" AS VARCHAR),
+       'value ''' || "offset" || ''' violates multipleOf '
+           || '(spans/items/offset/multipleOf) at span ' || span_index
+FROM spans WHERE "offset" % 8 <> 0
 """,
         "kw_content": """
 WITH b AS (

@@ -24,25 +24,31 @@ from jsonschema_rs_spark.spec import SpecError, resolve_refs
 from jsonschema_rs_spark.compiler import (
     CompiledConstraint,
     CompiledSpec,
+    EngineOptions,
     compile_spec,
 )
 from jsonschema_rs_spark.plans.validate import (
+    basic_output,
     validation_frame,
     verdicts,
     violations,
     partition_rollup,
 )
+from jsonschema_rs_spark.retriever import fetch_resources
 
 __all__ = [
     "SpecError",
     "resolve_refs",
     "CompiledConstraint",
     "CompiledSpec",
+    "EngineOptions",
     "compile_spec",
+    "basic_output",
     "validation_frame",
     "verdicts",
     "violations",
     "partition_rollup",
+    "fetch_resources",
 ]
 
 __version__ = "0.1.0"

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from jsonschema_rs_spark.compiler import CompiledSpec, EngineOptions, compile_spec
 from jsonschema_rs_spark.plans.validate import (
+    basic_output,
     partition_rollup,
     validation_frame,
     verdicts,
@@ -76,8 +77,14 @@ class SparkValidator:
             raise ValidationError([r.asDict() for r in rows])
 
     def apply_basic(self, df: DataFrame, part_col: str) -> DataFrame:
-        """Per-partition rollup — the ``apply().basic()`` analogue."""
+        """Per-partition rollup — the ``apply().basic()`` aggregate view."""
         return partition_rollup(df, self.compiled, part_col, self.id_cols)
+
+    def apply_units(self, df: DataFrame) -> DataFrame:
+        """Basic-output ERROR units with keywordLocation / instanceLocation
+        JSON Pointers and typed kinds — the per-unit ``apply().basic()``
+        analogue (reference ``output.rs:104-200``)."""
+        return basic_output(df, self.compiled, self.id_cols)
 
 
 def validator_for(schema: Any, table_schema,

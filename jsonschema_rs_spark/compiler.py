@@ -150,6 +150,12 @@ class CompiledConstraint:
     # arrays_zip(touched fields) so nested parquet pruning reaches the scan
     # even through Generate+Filter.
     touched: Optional[frozenset] = None
+    # basic-output locations (reference output.rs:104-200 / paths.rs:60-106):
+    # keywordLocation as a full JSON Pointer, and the instance field path
+    # (element-relative at element scope, root-relative at doc scope) that
+    # plans combine with the span index into instanceLocation.
+    schema_path: str = ""
+    instance_fields: tuple = ()
 
 
 @dataclass
@@ -166,8 +172,23 @@ class CompiledSpec:
 class EngineOptions:
     """Mirrors reference ``ValidationOptions`` (``options.rs:20-50``)."""
 
-    validate_formats: bool = True
+    # Draft dialect: 4, 6, 7, 2019, 2020, or None.  None = auto: sniff the
+    # root ``$schema`` URI (reference ``options.rs:58-82``); no ``$schema``
+    # -> the permissive merged dialect (round-1 behavior).  The draft
+    # controls draft-4 boolean vs numeric exclusive bounds, tuple ``items``
+    # vs ``prefixItems``, and the format-assertion default below.
+    draft: int | None = None
+    # None = per-draft default: formats ASSERT under drafts 4/6/7 (and the
+    # merged dialect), and are annotation-only under 2019-09/2020-12 unless
+    # explicitly enabled — the spec's format-vocabulary split, mirrored by
+    # the reference's should_validate_formats option.
+    validate_formats: bool | None = None
     ignore_unknown_formats: bool = True
+    # $recursiveRef/$dynamicRef unroll budget (reference compiles dynamic-
+    # scope thunks, ref_.rs:82-155; a columnar plan needs a finite tree).
+    # On a typed table, a limit >= the type's nesting depth is EXACT:
+    # deeper instances cannot exist.
+    recursion_limit: int = 3
     # name -> factory(value, dtype) -> (pred_builder, observed_builder)
     custom_keywords: dict[str, Callable] = field(default_factory=dict)
     custom_formats: dict[str, Callable[[Column], Column]] = field(default_factory=dict)
@@ -190,11 +211,25 @@ class EngineOptions:
 # lowering context
 # --------------------------------------------------------------------------
 
+def _sp(ctx) -> tuple:
+    """The node's effective schema pointer (falls back to the compact path)."""
+    return ctx.spointer if ctx.spointer is not None else ctx.path
+
+
+def _esc_pointer(seg: str) -> str:
+    """RFC 6901 JSON Pointer token escaping."""
+    return seg.replace("~", "~0").replace("/", "~1")
+
+
 @dataclass
 class _Ctx:
     dtype: DataType
     path: tuple[str, ...]          # compact schema pointer segments
     scope: str                     # 'doc' | 'element'
+    # FULL schema JSON Pointer segments (includes 'properties' etc.) for
+    # basic-output keywordLocation (reference paths.rs:60-106); compact
+    # `path` stays the stable constraint_id.  None = same as `path`.
+    spointer: Optional[tuple[str, ...]] = None
     # data path: pure struct-field descent from the scope root (excludes
     # combinator segments like allOf/0) — used to build array accessors
     dpath: tuple[str, ...] = ()
@@ -610,7 +645,20 @@ class Lowerer:
             if kw in schema and kw not in handled_custom:
                 v = schema[kw]
                 if isinstance(v, bool):
-                    continue  # draft-4 boolean exclusive flag, handled below
+                    # draft-4 boolean exclusive flag (folded into min/max)
+                    if ctx.options.draft not in (None, 4):
+                        raise SpecError(
+                            f"boolean {kw} at {ctx.cid()} is the draft-4 "
+                            f"form; draft {ctx.options.draft} expects a "
+                            "number"
+                        )
+                    continue
+                if kw.startswith("exclusive") and ctx.options.draft == 4:
+                    raise SpecError(
+                        f"numeric {kw} at {ctx.cid()} is a draft-6+ form; "
+                        "draft 4 uses boolean exclusiveMinimum/Maximum "
+                        "alongside minimum/maximum"
+                    )
                 # draft-4 legacy: boolean exclusiveMin/Max flips min/max to
                 # strict (reference keywords/legacy/maximum_draft_4.rs)
                 if kw == "minimum" and schema.get("exclusiveMinimum") is True:
@@ -728,9 +776,20 @@ class Lowerer:
         touched = None
         if ctx.scope == "element" and ctx.dpath:
             touched = frozenset({ctx.dpath[0]})
+        # keywordLocation: the node's FULL pointer + the keyword segments
+        # (everything in cid beyond the node's compact path)
+        prefix = "/".join(ctx.path)
+        rem = cid[len(prefix):].lstrip("/") if cid.startswith(prefix) else cid
+        rem_segs = tuple(rem.split("/")) if rem else ()
+        if rem_segs and rem_segs[0] in ("required", "dependentRequired"):
+            rem_segs = rem_segs[:1]  # the keyword, not the key name
+        sp = ctx.spointer if ctx.spointer is not None else ctx.path
+        schema_path = "/" + "/".join(
+            _esc_pointer(s) for s in (*sp, *rem_segs))
         return CompiledConstraint(
             constraint_id=cid, scope=ctx.scope, pred=pred, observed=observed,
             array=ctx.array, array_key=ctx.array_key, touched=touched,
+            schema_path=schema_path, instance_fields=ctx.dpath,
         )
 
     # ------------------------------------------------------------------
@@ -738,8 +797,14 @@ class Lowerer:
         dt: StructType = ctx.dtype
         fields = {f.name: f.dataType for f in dt.fields}
 
-        def descend(name: str, sub, extra_path: tuple[str, ...]):
+        def descend(name: str, sub, extra_path: tuple[str, ...],
+                    sp_extra: tuple[str, ...] | None = None):
             if name not in fields:
+                if isinstance(sub, dict) and sub.get("$__lenient__"):
+                    # dynamically-unrolled subtree past the typed nesting
+                    # depth: the member can never exist, so every keyword
+                    # except required passes trivially — emit nothing
+                    return
                 raise SpecError(
                     f"schema at {ctx.cid()} references field {name!r} not in the "
                     f"typed table schema (fields: {sorted(fields)})"
@@ -749,6 +814,9 @@ class Lowerer:
                              elementable=ctx.elementable,
                              array=ctx.array,
                              array_key=ctx.array_key,
+                             spointer=_sp(ctx) + (
+                                 sp_extra if sp_extra is not None
+                                 else ("properties", name)),
                              stageable=ctx.stageable, options=ctx.options)
             lowered = self.lower(sub, child_ctx)
 
@@ -793,12 +861,22 @@ class Lowerer:
                 raise SpecError(str(e))
             for name in fields:
                 if matches(name):
-                    descend(name, sub, ("patternProperties", pat, name))
+                    descend(name, sub, ("patternProperties", pat, name),
+                            sp_extra=("patternProperties", pat))
 
         # required — reference ``keywords/required.rs:16-117`` (per-key
         # specialization ≡ one constraint per key here)
         for key in schema.get("required", []):
             if key not in fields:
+                if schema.get("$__lenient__"):
+                    # typed object exists but can never carry this member:
+                    # required fails for every present instance (ancestor
+                    # null-passes still apply when the object is absent)
+                    pred = lambda x, *i: F.lit(False)
+                    out.append(self._mk(ctx, ctx.cid("required", key), pred,
+                                        lambda x, *i: F.lit("missing")))
+                    valids.append(pred)
+                    continue
                 raise SpecError(
                     f"required key {key!r} at {ctx.cid()} not in typed schema"
                 )
@@ -837,6 +915,7 @@ class Lowerer:
                           scope=ctx.scope, dpath=ctx.dpath,
                           elementable=ctx.elementable, array=ctx.array,
                           array_key=ctx.array_key,
+                          spointer=_sp(ctx) + ("dependentSchemas", key),
                           stageable=ctx.stageable, options=ctx.options))
             def pred(x, *i, _k=key, _v=lowered.valid):
                 return x.getField(_k).isNull() | _v(x, *i)
@@ -871,7 +950,9 @@ class Lowerer:
             sub = schema["propertyNames"]
             name_ctx = _Ctx(dtype=StringType(), path=ctx.path + ("propertyNames",),
                             scope=ctx.scope, elementable=False, array=ctx.array,
-                            array_key=ctx.array_key, options=ctx.options)
+                            array_key=ctx.array_key,
+                            spointer=_sp(ctx) + ("propertyNames",),
+                            options=ctx.options)
             # compile the name schema, then evaluate it per static field name
             lowered = self.lower(sub, name_ctx)
             # static evaluation happens at plan time with lit() names; emit a
@@ -914,7 +995,8 @@ class Lowerer:
                         continue
                     if any(m(fname) for m in compiled_pats):
                         continue
-                    descend(fname, sub, ("unevaluatedProperties", fname))
+                    descend(fname, sub, ("unevaluatedProperties", fname),
+                            sp_extra=("unevaluatedProperties",))
 
     # ------------------------------------------------------------------
     def _lower_map(self, schema, ctx: _Ctx, out, valids, emit) -> None:
@@ -965,7 +1047,9 @@ class Lowerer:
                 schema["propertyNames"],
                 _Ctx(dtype=StringType(), path=ctx.path + ("propertyNames",),
                      scope=ctx.scope, elementable=False, array=ctx.array,
-                     array_key=ctx.array_key, options=ctx.options))
+                     array_key=ctx.array_key,
+                     spointer=_sp(ctx) + ("propertyNames",),
+                     options=ctx.options))
             emit(ctx.cid("propertyNames"),
                  self._lift(lambda x, _v=lowered.valid: F.forall(
                      key_of(x), lambda k: _v(k))),
@@ -976,7 +1060,9 @@ class Lowerer:
             lowered = self.lower(
                 sub, _Ctx(dtype=dt.valueType, path=ctx.path + (name,),
                           scope=ctx.scope, elementable=False, array=ctx.array,
-                          array_key=ctx.array_key, options=ctx.options))
+                          array_key=ctx.array_key,
+                          spointer=_sp(ctx) + ("properties", name),
+                          options=ctx.options))
             emit(ctx.cid(name),
                  self._lift(lambda x, _k=name, _v=lowered.valid:
                             ~F.map_contains_key(x, F.lit(_k))
@@ -998,7 +1084,9 @@ class Lowerer:
                 sub, _Ctx(dtype=dt.valueType,
                           path=ctx.path + ("patternProperties", pat),
                           scope=ctx.scope, elementable=False, array=ctx.array,
-                          array_key=ctx.array_key, options=ctx.options))
+                          array_key=ctx.array_key,
+                          spointer=_sp(ctx) + ("patternProperties", pat),
+                          options=ctx.options))
             pat_pairs.append((java, lowered.valid))
             emit(ctx.cid("patternProperties", pat),
                  self._lift(lambda x, _p=java, _v=lowered.valid: F.forall(
@@ -1054,7 +1142,9 @@ class Lowerer:
                     ap, _Ctx(dtype=dt.valueType,
                              path=ctx.path + (ap_kw,),
                              scope=ctx.scope, elementable=False, array=ctx.array,
-                             array_key=ctx.array_key, options=ctx.options))
+                             array_key=ctx.array_key,
+                             spointer=_sp(ctx) + (ap_kw,),
+                             options=ctx.options))
                 emit(ctx.cid(ap_kw),
                      self._lift(lambda x, _v=lowered.valid: F.forall(
                          F.map_entries(x),
@@ -1112,12 +1202,23 @@ class Lowerer:
                      self._lift(lambda x, _n=max_c: count(x) <= _n),
                      self._lift(lambda x: count(x).cast("string")))
 
-        # tuple forms: prefixItems (2020-12) / items: [..] (draft 4-7)
+        # tuple forms: prefixItems (2020-12) / items: [..] (draft 4-2019)
+        draft = ctx.options.draft
         tuple_schemas = None
         if isinstance(schema.get("prefixItems"), list):
+            if draft in (4, 6, 7, 2019):
+                raise SpecError(
+                    f"prefixItems at {ctx.cid()} is a 2020-12 keyword; "
+                    f"draft {draft} uses the array form of items"
+                )
             tuple_schemas = schema["prefixItems"]
             tail_kw = "items"
         elif isinstance(schema.get("items"), list):
+            if draft == 2020:
+                raise SpecError(
+                    f"array-form items at {ctx.cid()} was removed in "
+                    "2020-12; use prefixItems"
+                )
             tuple_schemas = schema["items"]
             tail_kw = "additionalItems"
         if tuple_schemas is not None:
@@ -1151,7 +1252,8 @@ class Lowerer:
         lowered = self.lower(sub, _Ctx(
             dtype=elem_dt, path=ctx.path + suffix, scope=ctx.scope,
             elementable=False,
-            array=ctx.array, array_key=ctx.array_key, options=ctx.options))
+            array=ctx.array, array_key=ctx.array_key,
+            spointer=_sp(ctx) + suffix, options=ctx.options))
         return lowered.valid
 
     def _emit_items(self, sub, ctx: _Ctx, elem_dt, out, valids,
@@ -1171,6 +1273,7 @@ class Lowerer:
             elem_ctx = _Ctx(
                 dtype=elem_dt, path=ctx.path + path_suffix, scope="element",
                 array=self._array_accessor(arr_path), array_key=arr_path,
+                spointer=_sp(ctx) + path_suffix,
                 stageable=True, options=self.options)
             lowered = self.lower(sub, elem_ctx)
             for c in lowered.constraints:
@@ -1234,6 +1337,7 @@ class Lowerer:
                 dtype=ctx.dtype, path=ctx.path + ("allOf", str(idx)),
                 scope=ctx.scope, dpath=ctx.dpath, elementable=ctx.elementable,
                 array=ctx.array, array_key=ctx.array_key,
+                spointer=_sp(ctx) + ("allOf", str(idx)),
                 stageable=ctx.stageable, options=ctx.options))
             out.extend(lowered.constraints)
             valids.append(lowered.valid)
@@ -1248,6 +1352,7 @@ class Lowerer:
                                    scope=ctx.scope, dpath=ctx.dpath,
                                    elementable=False, array=ctx.array,
                                    array_key=ctx.array_key,
+                                   spointer=_sp(ctx) + ("anyOf", str(i)),
                                    stageable=ctx.stageable,
                                    options=ctx.options)).valid
                 for i, s in enumerate(schema["anyOf"])
@@ -1268,6 +1373,7 @@ class Lowerer:
                                    scope=ctx.scope, dpath=ctx.dpath,
                                    elementable=False, array=ctx.array,
                                    array_key=ctx.array_key,
+                                   spointer=_sp(ctx) + ("oneOf", str(i)),
                                    stageable=ctx.stageable,
                                    options=ctx.options)).valid
                 for i, s in enumerate(schema["oneOf"])
@@ -1286,6 +1392,7 @@ class Lowerer:
                 dtype=ctx.dtype, path=ctx.path + ("not",), scope=ctx.scope,
                 dpath=ctx.dpath, elementable=False,
                 array=ctx.array, array_key=ctx.array_key,
+                spointer=_sp(ctx) + ("not",),
                 stageable=ctx.stageable, options=ctx.options)).valid
             pred = lambda *a, _v=sub_valid: ~F.coalesce(_v(*a), F.lit(True))
             out.append(self._mk(ctx, ctx.cid("not"), pred, self._lift(obs)))
@@ -1299,6 +1406,7 @@ class Lowerer:
                 dtype=ctx.dtype, path=ctx.path + ("if",), scope=ctx.scope,
                 dpath=ctx.dpath, elementable=False,
                 array=ctx.array, array_key=ctx.array_key,
+                spointer=_sp(ctx) + ("if",),
                 stageable=ctx.stageable, options=ctx.options))
             cond = cond_lowered.valid
             cond_touched = frozenset()
@@ -1314,6 +1422,7 @@ class Lowerer:
                     scope=ctx.scope, dpath=ctx.dpath,
                     elementable=ctx.elementable,
                     array=ctx.array, array_key=ctx.array_key,
+                    spointer=_sp(ctx) + (branch_name,),
                     stageable=ctx.stageable, options=ctx.options))
                 same = all(c.scope == ctx.scope for c in lowered.constraints)
                 def gated_c(cond_v, *a):
@@ -1349,6 +1458,25 @@ class Lowerer:
 # public entry
 # --------------------------------------------------------------------------
 
+_DRAFT_URIS = (
+    ("draft-04", 4), ("draft-06", 6), ("draft-07", 7),
+    ("2019-09", 2019), ("2020-12", 2020),
+)
+
+
+def _sniff_draft(schema: Any) -> int | None:
+    """Map the root ``$schema`` URI to a draft (reference dispatch,
+    ``options.rs:58-82`` / ``keywords/mod.rs:177-391``)."""
+    if isinstance(schema, dict):
+        uri = schema.get("$schema") or ""
+        for frag, d in _DRAFT_URIS:
+            if frag in uri:
+                return d
+        if uri:
+            raise SpecError(f"unrecognized $schema dialect {uri!r}")
+    return None
+
+
 def compile_spec(
     schema: Any,
     table_schema: StructType,
@@ -1357,10 +1485,24 @@ def compile_spec(
     """Compile a constraint spec against a typed table schema.
 
     Mirrors the reference's ``build_validator`` pipeline
-    (``compiler.rs:284-340``): resolve refs → self-validate → lower keywords.
+    (``compiler.rs:284-340``): detect draft → resolve refs → self-validate →
+    lower keywords.
     """
+    import dataclasses
+
     options = options or EngineOptions()
-    resolved = resolve_refs(schema, resources=options.resources or None)
+    draft = options.draft if options.draft is not None else _sniff_draft(schema)
+    if draft not in (None, 4, 6, 7, 2019, 2020):
+        raise SpecError(f"unsupported draft {draft!r}")
+    validate_formats = options.validate_formats
+    if validate_formats is None:
+        # formats assert in drafts 4/6/7 (and the merged dialect); they are
+        # annotation-only in 2019-09/2020-12 unless explicitly enabled
+        validate_formats = draft in (None, 4, 6, 7)
+    options = dataclasses.replace(
+        options, draft=draft, validate_formats=validate_formats)
+    resolved = resolve_refs(schema, resources=options.resources or None,
+                            recursion_limit=options.recursion_limit)
     validate_spec(resolved, set(options.custom_keywords))
     lowerer = Lowerer(table_schema, options)
     lowered = lowerer.lower_root(resolved)

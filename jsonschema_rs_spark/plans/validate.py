@@ -326,9 +326,39 @@ def _group_array(df: DataFrame, key, group, root) -> Column:
     return group[0].array(root)
 
 
+def _esc_ptr(s: str) -> str:
+    return s.replace("~", "~0").replace("/", "~1")
+
+
+def _instance_path_col(c, i: Column | None) -> Column:
+    """instanceLocation JSON Pointer (reference ``paths.rs:60-106``):
+    ``/spans/<i>/text`` for element constraints, ``/spans`` (or ``""`` at
+    the root) for doc constraints — static strings except the span index."""
+    if c.scope == "element":
+        pre = "".join("/" + _esc_ptr(s) for s in (c.array_key or ()))
+        suf = "".join("/" + _esc_ptr(s) for s in c.instance_fields)
+        return F.concat(F.lit(pre + "/"), i.cast("string"), F.lit(suf))
+    return F.lit("".join("/" + _esc_ptr(s) for s in c.instance_fields))
+
+
+def _viol_struct_located(c, span_index: Column, observed: Column,
+                         i: Column | None) -> Column:
+    return F.struct(
+        F.lit(c.constraint_id).alias("constraint_id"),
+        span_index.cast("int").alias("span_index"),
+        observed.cast("string").alias("observed"),
+        _instance_path_col(c, i).alias("instance_path"),
+        F.lit(c.schema_path).alias("keyword_location"),
+    )
+
+
 def violations(df: DataFrame, compiled: CompiledSpec,
-               id_cols: Sequence[str] = ("doc_id",)) -> DataFrame:
-    """Violation rows ``(id_cols..., constraint_id, span_index, observed)``.
+               id_cols: Sequence[str] = ("doc_id",),
+               include_locations: bool = False) -> DataFrame:
+    """Violation rows ``(id_cols..., constraint_id, span_index, observed)``
+    (+ ``instance_path``/``keyword_location`` JSON Pointers when
+    ``include_locations`` — the basic-output unit fields,
+    reference ``output.rs:104-200``).
 
     Physical shape chosen for whole-stage codegen (higher-order-function
     lambdas are CodegenFallback in Spark and measured ~25x slower here):
@@ -348,12 +378,16 @@ def violations(df: DataFrame, compiled: CompiledSpec,
         if c.scope == "element":
             by_array.setdefault(c.array_key, []).append(c)
 
+    def _mk_cell(c, span_index, observed, i=None):
+        if include_locations:
+            return _viol_struct_located(c, span_index, observed, i)
+        return _viol_struct(c.constraint_id, span_index, observed)
+
     def doc_cells(root_col: Column) -> list[Column]:
         return [
             F.when(
                 ~F.coalesce(c.pred(root_col), F.lit(True)),
-                _viol_struct(c.constraint_id, F.lit(None).cast("int"),
-                             c.observed(root_col)),
+                _mk_cell(c, F.lit(None).cast("int"), c.observed(root_col)),
             )
             for c in doc_cs
         ]
@@ -372,7 +406,7 @@ def violations(df: DataFrame, compiled: CompiledSpec,
         cells = [
             F.when(
                 i.isNotNull() & ~F.coalesce(c.pred(x, i), F.lit(True)),
-                _viol_struct(c.constraint_id, i, c.observed(x, i)),
+                _mk_cell(c, i, c.observed(x, i), i=i),
             )
             for c in group
         ]
@@ -404,6 +438,9 @@ def violations(df: DataFrame, compiled: CompiledSpec,
                 F.lit(None).cast("string").alias("constraint_id"),
                 F.lit(None).cast("int").alias("span_index"),
                 F.lit(None).cast("string").alias("observed"),
+                *([F.lit(None).cast("string").alias("instance_path"),
+                   F.lit(None).cast("string").alias("keyword_location")]
+                  if include_locations else []),
             ).limit(0)
         # build the cell array in a projection BELOW the explode so the
         # CreateStruct(root) collapses there and column pruning reaches the
@@ -424,11 +461,17 @@ def violations(df: DataFrame, compiled: CompiledSpec,
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
+    loc_cols = (
+        [F.col("v.instance_path").alias("instance_path"),
+         F.col("v.keyword_location").alias("keyword_location")]
+        if include_locations else []
+    )
     return out.select(
         *ids,
         F.col("v.constraint_id").alias("constraint_id"),
         F.col("v.span_index").alias("span_index"),
         F.col("v.observed").alias("observed"),
+        *loc_cols,
     )
 
 
@@ -465,6 +508,73 @@ def violation_count_column(compiled: CompiledSpec, root: Column) -> Column:
             F.lit(0),
         )
     return cnt
+
+
+# keyword -> reference ValidationErrorKind name (error.rs:63-143); the typed
+# error vocabulary, derivable from the constraint_id's last keyword segment.
+_ERROR_KINDS = {
+    "type": "Type", "enum": "Enum", "const": "Constant",
+    "minimum": "Minimum", "maximum": "Maximum",
+    "exclusiveMinimum": "ExclusiveMinimum",
+    "exclusiveMaximum": "ExclusiveMaximum", "multipleOf": "MultipleOf",
+    "minLength": "MinLength", "maxLength": "MaxLength", "pattern": "Pattern",
+    "format": "Format", "contentEncoding": "ContentEncoding",
+    "contentMediaType": "ContentMediaType", "required": "Required",
+    "dependentRequired": "Required", "dependentSchemas": "Schema",
+    "minProperties": "MinProperties", "maxProperties": "MaxProperties",
+    "propertyNames": "PropertyNames",
+    "additionalProperties": "AdditionalProperties",
+    "unevaluatedProperties": "UnevaluatedProperties",
+    "unevaluatedItems": "UnevaluatedItems", "items": "Items",
+    "prefixItems": "Items", "additionalItems": "AdditionalItems",
+    "contains": "Contains", "minContains": "MinContains",
+    "maxContains": "MaxContains", "minItems": "MinItems",
+    "maxItems": "MaxItems", "uniqueItems": "UniqueItems",
+    "allOf": "Schema", "anyOf": "AnyOf", "oneOf": "OneOfNotValid",
+    "not": "Not", "then": "Schema", "else": "Schema", "false": "FalseSchema",
+}
+
+
+def error_kind_column(constraint_id: Column) -> Column:
+    """Typed error kind from the trailing keyword segment (reference's
+    ``ValidationErrorKind`` vocabulary, ``error.rs:63-143``)."""
+    segs = F.split(constraint_id, "/")
+    kw = F.element_at(segs, -1)
+    # keyed keywords put the key/pattern LAST (required/<key>,
+    # patternProperties/<pat>): the keyword is then the second-to-last seg
+    kw2 = F.when(F.size(segs) >= 2, F.element_at(segs, -2))
+    expr = F.lit("Schema")
+    for k in ("required", "dependentRequired", "dependentSchemas",
+              "patternProperties"):
+        expr = F.when(kw2 == k, F.lit(_ERROR_KINDS.get(k, "Schema"))
+                      ).otherwise(expr)
+    for k, v in _ERROR_KINDS.items():
+        expr = F.when(kw == k, F.lit(v)).otherwise(expr)
+    return expr
+
+
+def basic_output(df: DataFrame, compiled: CompiledSpec,
+                 id_cols: Sequence[str] = ("doc_id",)) -> DataFrame:
+    """Basic-output ERROR units (reference ``apply().basic()``,
+    ``output.rs:104-200``): one row per failed keyword with ``valid=false``,
+    ``keyword_location`` and ``instance_path`` JSON Pointers, a typed
+    ``kind``, and the human message.  Same single-scan codegen plan as
+    ``violations`` — the locations are constant strings plus the span index.
+    (Annotation units for PASSING keywords are intentionally not emitted:
+    at 10^12 documents that output is larger than the input; the
+    per-partition ``partition_rollup`` is the aggregate analogue.)"""
+    v = violations(df, compiled, id_cols=id_cols, include_locations=True)
+    return with_messages(v).select(
+        *id_cols,
+        F.lit(False).alias("valid"),
+        F.col("keyword_location"),
+        F.col("instance_path"),
+        error_kind_column(F.col("constraint_id")).alias("kind"),
+        F.col("constraint_id"),
+        F.col("span_index"),
+        F.col("observed"),
+        F.col("message"),
+    )
 
 
 def with_messages(viol_df: DataFrame) -> DataFrame:

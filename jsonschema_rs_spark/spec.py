@@ -62,14 +62,72 @@ def _pointer_get(doc: Any, pointer: str,
     return cur
 
 
+def _collect_dynamic_anchors(root: Any) -> dict[str, Any]:
+    """``$dynamicAnchor`` name -> subschema; '' maps to the
+    ``$recursiveAnchor: true`` schema (or the root)."""
+    out: dict[str, Any] = {}
+
+    def walk(s):
+        if isinstance(s, dict):
+            if isinstance(s.get("$dynamicAnchor"), str):
+                out.setdefault(s["$dynamicAnchor"], s)
+            if s.get("$recursiveAnchor") is True:
+                out.setdefault("", s)
+            for v in s.values():
+                walk(v)
+        elif isinstance(s, list):
+            for v in s:
+                walk(v)
+
+    walk(root)
+    if isinstance(root, dict):
+        out.setdefault("", root)
+    return out
+
+
+def _mark_lenient(schema: Any) -> Any:
+    """Tag every dict in a dynamically-unrolled subtree: the compiler then
+    treats schema fields MISSING from the typed table as trivially-absent
+    members (pass) instead of spec errors, which is how bounded unrolling
+    terminates cleanly at the table's finite nesting depth."""
+    _CONTAINERS = ("properties", "patternProperties", "dependentSchemas",
+                   "$defs", "definitions")
+    if isinstance(schema, dict):
+        schema["$__lenient__"] = True
+        for k, v in list(schema.items()):
+            if k in ("enum", "const", "required", "$__lenient__"):
+                continue
+            if k in _CONTAINERS and isinstance(v, dict):
+                # dict-of-schemas container: mark the VALUES, not the map
+                for sub in v.values():
+                    _mark_lenient(sub)
+            else:
+                _mark_lenient(v)
+    elif isinstance(schema, list):
+        for v in schema:
+            _mark_lenient(v)
+    return schema
+
+
 def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
-                 resources: dict[str, Any] | None = None) -> Any:
+                 resources: dict[str, Any] | None = None,
+                 recursion_limit: int = 3,
+                 _dyn: dict[str, Any] | None = None,
+                 _dyn_depth: int = 0) -> Any:
     """Inline every ``$ref`` (local or registered-resource) into a
     self-contained dict.
 
     Bounded unrolling replaces the reference's lazy cycle detection
     (``compiler.rs:182-197``): beyond MAX_REF_DEPTH we raise instead of
     building an infinite Column tree.
+
+    ``$recursiveRef "#"`` / ``$dynamicRef "#name"`` (reference
+    ``ref_.rs:82-155``, dynamic-scope thunks) are UNROLLED up to
+    ``recursion_limit`` times, then terminate with the permissive ``true``
+    schema.  Unrolled subtrees are marked lenient so descent past the typed
+    table's finite nesting depth ends quietly — on a typed table a limit ≥
+    the type's nesting depth makes the unrolling EXACT, because deeper
+    instances cannot exist.
     """
     if root is None:
         root = schema
@@ -80,22 +138,56 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
                 for sub in (schema.get("$defs") or {}).values()
                 if isinstance(sub, dict) and "$id" in sub
             }
+        _dyn = _collect_dynamic_anchors(schema)
     if depth > MAX_REF_DEPTH:
         raise SpecError(
             f"$ref nesting deeper than {MAX_REF_DEPTH}: recursive schemas must be "
             "bounded for columnar compilation"
         )
+
+    def rec(s, d=depth, dd=_dyn_depth):
+        return resolve_refs(s, root, d, resources, recursion_limit, _dyn, dd)
+
     if isinstance(schema, dict):
+        if "$recursiveRef" in schema or "$dynamicRef" in schema:
+            key = "$recursiveRef" if "$recursiveRef" in schema else "$dynamicRef"
+            frag = schema[key]
+            if not (isinstance(frag, str) and frag.startswith("#")):
+                raise SpecError(f"{key} expects a '#...' fragment, got {frag!r}")
+            name = frag[1:].lstrip("/")
+            if _dyn is None or name not in _dyn:
+                raise SpecError(
+                    f"unresolvable {key} {frag!r}: no matching "
+                    "$dynamicAnchor/$recursiveAnchor in the schema"
+                )
+            if _dyn_depth >= recursion_limit:
+                return True  # bounded terminal: permissive past the limit
+            target = _mark_lenient(copy.deepcopy(_dyn[name]))
+            resolved = rec(target, depth + 1, _dyn_depth + 1)
+            siblings = {k: v for k, v in schema.items() if k != key}
+            extra = {
+                k: rec(v)
+                for k, v in siblings.items()
+                if k not in ("$defs", "definitions", "$id", "$schema",
+                             "$recursiveAnchor", "$dynamicAnchor",
+                             "$__lenient__")
+            }
+            if extra and isinstance(resolved, dict):
+                wrapper = {"allOf": [resolved, extra]}
+                if schema.get("$__lenient__"):
+                    wrapper["$__lenient__"] = True
+                return wrapper
+            return resolved
         if "$ref" in schema:
             target = copy.deepcopy(
                 _pointer_get(root, schema["$ref"], resources))
-            resolved = resolve_refs(target, root, depth + 1, resources)
+            resolved = rec(target, depth + 1)
             # Draft 2019+ allows sibling keywords next to $ref: merge them.
             siblings = {k: v for k, v in schema.items() if k != "$ref"}
             if siblings and isinstance(resolved, dict):
                 merged = dict(resolved)
                 extra = {
-                    k: resolve_refs(v, root, depth, resources)
+                    k: rec(v)
                     for k, v in siblings.items()
                     if k not in ("$defs", "definitions", "$id", "$schema")
                 }
@@ -105,12 +197,11 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
                 return merged
             return resolved
         return {
-            k: (v if k in ("enum", "const")
-                else resolve_refs(v, root, depth, resources))
+            k: (v if k in ("enum", "const") else rec(v))
             for k, v in schema.items()
         }
     if isinstance(schema, list):
-        return [resolve_refs(v, root, depth, resources) for v in schema]
+        return [rec(v) for v in schema]
     return schema
 
 
@@ -133,8 +224,9 @@ _KNOWN_KEYWORDS = {
     "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
     # §2.6 refs / metadata (handled or ignored as annotations)
     "$ref", "$defs", "definitions", "$id", "$schema", "$comment",
+    "$recursiveRef", "$recursiveAnchor", "$dynamicRef", "$dynamicAnchor",
     "title", "description", "default", "examples", "deprecated",
-    "readOnly", "writeOnly", "$anchor", "$vocabulary",
+    "readOnly", "writeOnly", "$anchor", "$vocabulary", "$__lenient__",
 }
 
 

@@ -92,6 +92,61 @@ def test_custom_keyword_and_format(spark):
     assert got == {"ABCD": True, "abc": False}
 
 
+TREE_SCHEMA = {
+    "$defs": {"tree": {
+        "$dynamicAnchor": "tree",
+        "required": ["value"],
+        "properties": {
+            "value": {"minimum": 0},
+            "child": {"$dynamicRef": "#tree"},
+        },
+    }},
+    "properties": {"node": {"$ref": "#/$defs/tree"}},
+}
+
+_TREE_DDL = ("doc_id string, "
+             "node struct<value:int, child:struct<value:int>>")
+
+
+def test_dynamic_ref_unrolls_to_typed_depth(spark):
+    """$dynamicRef/$recursiveRef: bounded unrolling (reference ref_.rs
+    dynamic-scope thunks).  On a typed table the unrolling is exact — the
+    recursion terminates quietly where the type ends."""
+    df = spark.createDataFrame(
+        [("ok", (1, (2,))), ("bad-root", (-1, (2,))),
+         ("bad-child", (1, (-5,))), ("no-child", (3, None))],
+        _TREE_DDL)
+    c = compile_spec(TREE_SCHEMA, df.schema)
+    got = {r["doc_id"]: r["valid"]
+           for r in validation_frame(df, c, mode="verdicts").collect()}
+    assert got == {"ok": True, "bad-root": False,
+                   "bad-child": False, "no-child": True}
+
+
+def test_dynamic_ref_recursion_limit_is_permissive_terminal(spark):
+    df = spark.createDataFrame([("d", (1, (-5,)))], _TREE_DDL)
+    c = compile_spec(TREE_SCHEMA, df.schema,
+                     EngineOptions(recursion_limit=0))
+    got = validation_frame(df, c, mode="verdicts").collect()[0]["valid"]
+    assert got is True  # child subtree past the budget is unchecked
+
+
+def test_recursive_anchor_hash_ref(spark):
+    schema = {
+        "$recursiveAnchor": True,
+        "required": ["doc_id"],
+        "properties": {"obj": {"$recursiveRef": "#"}},
+    }
+    df = spark.createDataFrame(
+        [("a", ("x",)), ("b", (None,))],
+        "doc_id string, obj struct<doc_id:string>")
+    c = compile_spec(schema, df.schema)
+    got = {r["doc_id"]: r["valid"]
+           for r in validation_frame(df, c, mode="verdicts").collect()}
+    # nested 'required doc_id' applies to the present obj member
+    assert got == {"a": True, "b": False}
+
+
 def test_custom_content_encoding_and_media_type(spark):
     """Registration hooks mirroring reference options.rs:137-258."""
     opts = EngineOptions(

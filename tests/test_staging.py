@@ -129,6 +129,43 @@ def test_pattern_invalid_in_both_dialects_rejected_at_compile(spark):
                      SPAN_TABLE_SCHEMA)
 
 
+def test_basic_output_locations(spark):
+    """keyword_location is a FULL JSON Pointer (with 'properties'/'items'
+    segments, combinator indices) and instance_path points at the failing
+    instance including the span index — reference output.rs:104-200."""
+    from jsonschema_rs_spark.plans.validate import basic_output
+
+    spec = {"properties": {"spans": {
+        "minItems": 3,
+        "items": {
+            "required": ["kind"],
+            "allOf": [{"properties": {"offset": {"minimum": 0}}}],
+        },
+    }}}
+    df = _df(spark, [
+        [_span(kind=None, offset=-8), _span(offset=16)],
+    ])
+    compiled = compile_spec(spec, df.schema)
+    rows = {r["constraint_id"]: r for r in basic_output(df, compiled).collect()}
+
+    req = rows["spans/items/required/kind"]
+    assert req["keyword_location"] == "/properties/spans/items/required"
+    assert req["instance_path"] == "/spans/0"
+    assert req["kind"] == "Required"
+
+    mi = rows["spans/items/allOf/0/offset/minimum"]
+    assert mi["keyword_location"] == (
+        "/properties/spans/items/allOf/0/properties/offset/minimum")
+    assert mi["instance_path"] == "/spans/0/offset"
+    assert mi["kind"] == "Minimum"
+
+    mn = rows["spans/minItems"]
+    assert mn["keyword_location"] == "/properties/spans/minItems"
+    assert mn["instance_path"] == "/spans"
+    assert mn["kind"] == "MinItems"
+    assert mn["valid"] is False and mn["span_index"] is None
+
+
 def test_property_names_skip_absent_members(spark):
     """propertyNames applies only to PRESENT members (absent ≡ NULL)."""
     df = spark.createDataFrame(
