@@ -302,6 +302,35 @@ def q_sim_ivf_ann(spark, sf_dir):
     return SIM.ivf_ann_topk(emb, q, k=10, n_centroids=16, nprobe=6)
 
 
+def q_sim_near_dup(spark, sf_dir):
+    """Embedding near-duplicate pairs within LSH buckets, with data-derived
+    hyperplanes so DuckDB reproduces buckets and cosines exactly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clone = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(clone)
+    planes = SIM.data_hyperplanes(emb, ids=tuple(range(10, 26)))
+    return SIM.near_duplicates_cosine(corpus, threshold=0.99, bands=4,
+                                      planes=planes)
+
+
+def q_kw_logic(spark, sf_dir):
+    """Combinators end-to-end (anyOf/oneOf/not/if-then) over the span table —
+    driver-oracle evidence for SURVEY §2.5 beyond fixtures.  Combinators sit
+    at the FIELD level so observed values stay scalar (SQL-mirrorable)."""
+    spec = _span_spec({"items": {
+        "properties": {"offset": {
+            "anyOf": [{"maximum": 256}, {"multipleOf": 3}],
+            "not": {"multipleOf": 5},
+            "oneOf": [{"minimum": 0}, {"maximum": 0}],
+        }},
+        "if": {"properties": {"kind": {"const": "text"}}},
+        "then": {"properties": {"text": {"minLength": 4}}},
+    }})
+    df = derive_spans(spark, sf_dir)
+    return violations(df, compile_spec(spec, df.schema))
+
+
 def q_mm_media_features(spark, sf_dir):
     fs = flat_spans(spark, sf_dir)
     media = (
@@ -339,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_map_props": q_kw_map_props,
         "kw_format_date": q_kw_format_date,
         "kw_content": q_kw_content,
+        "kw_logic": q_kw_logic,
         "apply_basic": q_apply_basic,
         "ds_stats_bounds": q_ds_stats_bounds,
         "ds_unique": q_ds_unique,
@@ -353,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "sim_lsh_ann": q_sim_lsh_ann,
         "sim_ivf_ann": q_sim_ivf_ann,
+        "sim_near_dup": q_sim_near_dup,
         "mm_media_features": q_mm_media_features,
     }
 
@@ -778,6 +809,59 @@ ranked AS (
 )
 SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, round(cosd, 6) AS cos
 FROM ranked WHERE rank <= 10
+""",
+        "kw_logic": SPANS_CTE_SQL + """
+SELECT doc_id, 'spans/items/offset/anyOf' AS constraint_id, span_index,
+       CAST("offset" AS VARCHAR) AS observed
+FROM spans
+WHERE "offset" IS NOT NULL AND NOT ("offset" <= 256 OR "offset" % 3 = 0)
+UNION ALL
+SELECT doc_id, 'spans/items/offset/not', span_index,
+       CAST("offset" AS VARCHAR)
+FROM spans WHERE "offset" IS NOT NULL AND "offset" % 5 = 0
+UNION ALL
+SELECT doc_id, 'spans/items/offset/oneOf', span_index,
+       CAST("offset" AS VARCHAR)
+FROM spans WHERE "offset" = 0
+UNION ALL
+SELECT doc_id, 'spans/items/then/text/minLength', span_index, text
+FROM spans WHERE kind = 'text' AND text IS NOT NULL AND len(text) < 4
+""",
+        "sim_near_dup": """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+corpus AS (
+    SELECT vec_id AS id, v FROM base
+    UNION ALL
+    SELECT vec_id + 1000000 AS id, v FROM base WHERE vec_id % 100 = 0
+),
+p AS (SELECT vec_id - 10 AS pid, v AS pv
+      FROM base WHERE vec_id >= 10 AND vec_id < 26),
+bits AS (
+    SELECT c.id, p.pid,
+           CASE WHEN list_dot_product(c.v, p.pv) >= 0
+                THEN '1' ELSE '0' END AS b
+    FROM corpus c CROSS JOIN p
+),
+sig AS (SELECT id, string_agg(b, '' ORDER BY pid) AS s FROM bits GROUP BY id),
+bands AS (
+    SELECT id, bb.band, substr(s, bb.band * 4 + 1, 4) AS bucket
+    FROM sig, unnest(range(0, 4)) AS bb(band)
+),
+pairs AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+scored AS (
+    SELECT id_a, id_b,
+           list_dot_product(ca.v, cb.v)
+           / (sqrt(list_dot_product(ca.v, ca.v))
+              * sqrt(list_dot_product(cb.v, cb.v))) AS cosd
+    FROM pairs
+    JOIN corpus ca ON ca.id = id_a
+    JOIN corpus cb ON cb.id = id_b
+)
+SELECT id_a, id_b, round(cosd, 6) AS cos FROM scored WHERE cosd >= 0.99
 """,
         "sim_ivf_ann": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -86,10 +86,13 @@ def main() -> None:
     violations_df = violations(df, compiled)
     rollup_df = partition_rollup(df, compiled, "part_key")
 
-    timed("verdicts_fast_path", lambda: _force(verdicts_df), repeat=2)
+    # repeat=3 for the headline plans: the shared host shows 3-10x co-tenant
+    # swings and the first run pays the page-cache fill; min-of-3 recovers
+    # the engine's own cost (isolated steady-state ~0.5-0.9s for violations)
+    timed("verdicts_fast_path", lambda: _force(verdicts_df), repeat=3)
     timed("verdicts_hof", lambda: _force(verdicts_hof_df), repeat=2)
-    timed("verdicts_exploded", lambda: _force(verdicts_ex_df), repeat=2)
-    timed("violations_full", lambda: _force(violations_df), repeat=2)
+    timed("verdicts_exploded", lambda: _force(verdicts_ex_df), repeat=3)
+    timed("violations_full", lambda: _force(violations_df), repeat=3)
     timed("partition_rollup", lambda: rollup_df.collect(), repeat=2)
 
     # representative entry queries at the raw sf (no amplification);

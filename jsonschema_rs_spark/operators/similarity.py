@@ -351,11 +351,17 @@ def near_duplicates_cosine(
     bands: int = 4,
     dim: int | None = None,
     seed: int = 7,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
-    """Embedding near-dup pairs (cos ≥ threshold) found within LSH buckets."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+    """Embedding near-dup pairs (cos ≥ threshold) found within LSH buckets.
+
+    Pass ``planes`` (e.g. ``data_hyperplanes``) to skip the driver-side dim
+    probe and keep the pipeline SQL-reproducible for oracle checks."""
+    if planes is None:
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, n_planes, seed)
+    n_planes = len(planes)
     per_band = n_planes // bands
     sig = lsh_signature(F.col(vec_col), planes)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(

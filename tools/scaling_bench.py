@@ -115,38 +115,11 @@ def orchestrate() -> None:
                             for c, s in samples.items()},
     }
     print(json.dumps(summary))
-    with open("/root/repo/BENCH.md", "w") as f:
-        f.write(f"""# BENCH — scaling evidence (north rule: efficiency >= 0.8 at N -> 4N)
-
-No multi-executor cluster exists in this sandbox, so the two-cluster-size
-criterion is evidenced by running the IDENTICAL flagship job (full
-constraint-suite violations + per-partition rollup) on the IDENTICAL
-materialized input at two parallelism levels in fresh JVMs
-(best of {REPEAT} timed runs after JIT warm-up; sf={SF_DIR},
-replicate={REPLICATE}).
-
-| config | wall sec (min) | docs/sec | all samples (sec) |
-| --- | --- | --- | --- |
-| local[{N_BASE}]  | {results[N_BASE]['sec']} | {t8} | {[r['sec'] for r in samples[N_BASE]]} |
-| local[{4*N_BASE}] | {results[4*N_BASE]['sec']} | {t32} | {[r['sec'] for r in samples[4*N_BASE]]} |
-
-Samples were taken in alternating rounds (4,16,4,16,...) and the minimum
-per config compared, because this shared sandbox host shows 3-10x wall-time
-swings from co-tenant load (load-average spikes with ~0% visible CPU use).
-
-**Scaling efficiency {N_BASE} -> {4*N_BASE} cores (4x): {eff:.3f}**
-(= docs/sec at 4N / (4 x docs/sec at N); docs = {results[N_BASE]['docs']})
-
-Why this scales: the violation plan is a single parquet scan feeding
-narrow, fully whole-stage-codegen operators (posexplode -> fused
-when-struct projection -> stacked explode -> filter) with ZERO wide
-dependencies; the rollup adds one map-side-combined aggregation keyed by
-the partition column.  Work is embarrassingly parallel in input splits, so
-throughput tracks cores until the scan saturates storage bandwidth — the
-same property that lets the plan fan out across a 1000-executor cluster at
-100 TB (input splits ~128 MB each, no shuffle of document data, AQE handles
-reducer skew on the tiny rollup agg).
-""")
+    with open("/root/repo/BENCH_SCALING.json", "w") as f:
+        json.dump(summary, f, indent=1)
+    # BENCH.md carries the curated narrative (methodology, calibration,
+    # plan-scaling argument) and is updated by hand from this JSON — the
+    # tool no longer overwrites it.
 
 
 if __name__ == "__main__":
