@@ -166,6 +166,39 @@ def q_kw_format_date(spark, sf_dir):
     return violations(ev, compile_spec(spec, ev.schema), id_cols=("event_id",))
 
 
+def q_kw_bounds(spark, sf_dir):
+    """Numeric exclusive bounds + maxLength over the span table (driver
+    oracle for keywords previously fixture-only)."""
+    spec = _span_spec({"items": {"properties": {
+        "offset": {"exclusiveMinimum": -16, "exclusiveMaximum": 256},
+        "text": {"maxLength": 6},
+    }}})
+    df = derive_spans(spark, sf_dir)
+    return violations(df, compile_spec(spec, df.schema))
+
+
+def q_kw_map_deps(spark, sf_dir):
+    """dependentRequired / propertyNames / minProperties over a MAP column
+    with dynamic keys (constructed deterministically from event_id)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.when(F.col("event_id") % 4 == 0,
+               F.create_map(F.lit("a"), F.lit(1)))
+        .when(F.col("event_id") % 4 == 1,
+              F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2)))
+        .when(F.col("event_id") % 4 == 2,
+              F.create_map(F.lit("b"), F.lit(2), F.lit("BAD KEY"), F.lit(3)))
+        .otherwise(F.create_map().cast("map<string,int>"))
+        .alias("props2"),
+    )
+    spec = {"properties": {"props2": {
+        "dependentRequired": {"a": ["b"]},
+        "propertyNames": {"pattern": "^[a-z]+$"},
+        "minProperties": 1,
+    }}}
+    return violations(ev, compile_spec(spec, ev.schema), id_cols=("event_id",))
+
+
 def q_apply_basic(spark, sf_dir):
     """Basic-output error units with JSON-Pointer locations + typed kinds
     (reference apply().basic(), output.rs:104-200; VERDICT r01 #6)."""
@@ -369,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_format_date": q_kw_format_date,
         "kw_content": q_kw_content,
         "kw_logic": q_kw_logic,
+        "kw_bounds": q_kw_bounds,
+        "kw_map_deps": q_kw_map_deps,
         "apply_basic": q_apply_basic,
         "ds_stats_bounds": q_ds_stats_bounds,
         "ds_unique": q_ds_unique,
@@ -528,6 +563,30 @@ SELECT event_id, 'd/format' AS constraint_id,
        CAST(NULL AS INTEGER) AS span_index,
        '2024-13-45' AS observed
 FROM events WHERE event_id % 10 = 0
+""",
+        "kw_bounds": SPANS_CTE_SQL + """
+SELECT doc_id, 'spans/items/offset/exclusiveMinimum' AS constraint_id,
+       span_index, CAST("offset" AS VARCHAR) AS observed
+FROM spans WHERE "offset" <= -16
+UNION ALL
+SELECT doc_id, 'spans/items/offset/exclusiveMaximum', span_index,
+       CAST("offset" AS VARCHAR)
+FROM spans WHERE "offset" >= 256
+UNION ALL
+SELECT doc_id, 'spans/items/text/maxLength', span_index, text
+FROM spans WHERE text IS NOT NULL AND len(text) > 6
+""",
+        "kw_map_deps": """
+SELECT event_id, 'props2/dependentRequired/a' AS constraint_id,
+       CAST(NULL AS INTEGER) AS span_index, 'missing' AS observed
+FROM events WHERE event_id % 4 = 0
+UNION ALL
+SELECT event_id, 'props2/propertyNames', CAST(NULL AS INTEGER),
+       '["b","BAD KEY"]'
+FROM events WHERE event_id % 4 = 2
+UNION ALL
+SELECT event_id, 'props2/minProperties', CAST(NULL AS INTEGER), '0'
+FROM events WHERE event_id % 4 = 3
 """,
         "apply_basic": SPANS_CTE_SQL + """
 SELECT doc_id, FALSE AS valid,

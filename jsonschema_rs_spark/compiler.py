@@ -1020,6 +1020,39 @@ class Lowerer:
                      self._lift(lambda x, _k=key: F.map_contains_key(x, F.lit(_k))),
                      self._lift(lambda x: F.lit("missing")))
 
+        # dependentRequired / dependencies(list form) on a map — reference
+        # ``keywords/dependencies.rs:204-227`` over dynamic keys
+        deps = dict(schema.get("dependentRequired", {}))
+        for k, v in schema.get("dependencies", {}).items():
+            if isinstance(v, list):
+                deps[k] = v
+        for key, reqs in deps.items():
+            def dep_pred(x, *i, _k=key, _rs=tuple(reqs)):
+                need = F.lit(True)
+                for r in _rs:
+                    need = need & F.map_contains_key(x, F.lit(r))
+                return ~F.map_contains_key(x, F.lit(_k)) | need
+            emit(ctx.cid("dependentRequired", key), dep_pred,
+                 self._lift(lambda x: F.lit("missing")))
+
+        # dependentSchemas / dependencies(schema form) on a map
+        dep_schemas = dict(schema.get("dependentSchemas", {}))
+        for k, v in schema.get("dependencies", {}).items():
+            if isinstance(v, (dict, bool)):
+                dep_schemas[k] = v
+        for key, sub in dep_schemas.items():
+            lowered = self.lower(
+                sub, _Ctx(dtype=dt, path=ctx.path + ("dependentSchemas", key),
+                          scope=ctx.scope, elementable=False, array=ctx.array,
+                          array_key=ctx.array_key,
+                          spointer=_sp(ctx) + ("dependentSchemas", key),
+                          options=ctx.options))
+            emit(ctx.cid("dependentSchemas", key),
+                 self._lift(lambda x, _k=key, _v=lowered.valid:
+                            ~F.map_contains_key(x, F.lit(_k))
+                            | F.coalesce(_v(x), F.lit(True))),
+                 self._lift(obs))
+
         # Map applicators evaluate value schemas inside F.forall lambdas —
         # python-backed leaves have no legal site there; reject at compile
         # time (clear SpecError instead of a Spark AnalysisException).

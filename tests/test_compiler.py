@@ -217,6 +217,24 @@ def test_map_applicators(spark):
     assert "props/maxProperties" in ids_c
 
 
+def test_map_dependent_required_and_schemas(spark):
+    df = spark.createDataFrame(
+        [("a", {"a": 1}), ("b", {"a": 1, "b": 2}), ("c", {"b": 9})],
+        "doc_id string, props map<string,int>")
+    spec = {"properties": {"props": {
+        "dependentRequired": {"a": ["b"]},
+        "dependentSchemas": {"b": {"properties": {"b": {"maximum": 5}}}},
+    }}}
+    c = compile_spec(spec, df.schema)
+    got = {r["doc_id"]: r for r in
+           validation_frame(df, c, mode="both").collect()}
+    assert got["a"]["valid"] is False  # a present without b
+    assert got["b"]["valid"] is True
+    assert got["c"]["valid"] is False  # b present, b=9 > 5
+    ids_c = {v["constraint_id"] for v in got["c"]["violations"]}
+    assert "props/dependentSchemas/b" in ids_c
+
+
 def test_verdict_fastpath_agrees_with_violations(spark):
     from jsonschema_rs_spark.flagship import FLAGSHIP_SPEC
     from jsonschema_rs_spark.plans.validate import verdicts
