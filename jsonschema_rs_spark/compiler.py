@@ -981,22 +981,118 @@ class Lowerer:
         # additionalProperties on a typed struct is enforced by the schema
         # itself (closed world) — nothing to emit. (MapType handled below.)
 
-        # unevaluatedProperties — static resolution on a typed struct: field
-        # names are known at compile time, so the "unevaluated" set is just
-        # the fields no in-place applicator claims (reference tracks this at
-        # runtime via annotations, ``unevaluated_properties.rs:41-752``).
+        # unevaluatedProperties — CONDITIONAL claim resolution on a typed
+        # struct: field names are known at compile time, and claims made
+        # inside branch applicators (if/then/else, anyOf, oneOf,
+        # dependentSchemas) are gated on the branch's own runtime validity —
+        # the columnar equivalent of the reference's runtime annotation
+        # tracking (``unevaluated_properties.rs:41-752``): annotations count
+        # only from schemas that were successfully applied.
         if isinstance(schema.get("unevaluatedProperties"), (dict, bool)):
             sub = schema["unevaluatedProperties"]
-            names, pats, all_claimed = _claimed_props(schema)
-            if not all_claimed:
-                compiled_pats = [driver_regex_matcher(p) for p in pats]
-                for fname in fields:
-                    if fname in names:
+            claims = self._claimed_props_cond(schema, ctx)
+            for fname in fields:
+                conds = []
+                unconditional = False
+                for cond, names, matchers, claims_all in claims:
+                    hit = claims_all or fname in names or any(
+                        m(fname) for m in matchers)
+                    if not hit:
                         continue
-                    if any(m(fname) for m in compiled_pats):
-                        continue
-                    descend(fname, sub, ("unevaluatedProperties", fname),
-                            sp_extra=("unevaluatedProperties",))
+                    if cond is None:
+                        unconditional = True
+                        break
+                    conds.append(cond)
+                if unconditional:
+                    continue
+                mark_out, mark_val = len(out), len(valids)
+                descend(fname, sub, ("unevaluatedProperties", fname),
+                        sp_extra=("unevaluatedProperties",))
+                if not conds:
+                    continue
+                # field claimed only conditionally: the unevaluated check
+                # applies exactly when NO claimant branch applied
+                def claimed(x, *i, _cs=tuple(conds)):
+                    o = F.lit(False)
+                    for cf in _cs:
+                        o = o | F.coalesce(cf(x, *i), F.lit(False))
+                    return o
+                for c in out[mark_out:]:
+                    if c.scope == ctx.scope:
+                        prev = c.pred
+                        c.pred = (lambda x, *i, _p=prev, _cl=claimed:
+                                  _cl(x, *i)
+                                  | F.coalesce(_p(x, *i), F.lit(True)))
+                for vi in range(mark_val, len(valids)):
+                    prev_v = valids[vi]
+                    valids[vi] = (lambda x, *i, _p=prev_v, _cl=claimed:
+                                  _cl(x, *i)
+                                  | F.coalesce(_p(x, *i), F.lit(True)))
+
+    # ------------------------------------------------------------------
+    def _claimed_props_cond(self, schema, ctx: _Ctx):
+        """Claim sources for unevaluatedProperties on a typed struct.
+
+        Returns a list of ``(cond, names, matchers, claims_all)`` where
+        ``cond`` is a validity fn over the NODE instance (None =
+        unconditional): claims made inside if/then/else, anyOf, oneOf, and
+        dependentSchemas count only when that branch actually APPLIED —
+        mirroring the spec's "annotations from successfully applied schemas"
+        rule that the reference tracks at runtime.  ``not`` claims nothing
+        (its success means the subschema failed)."""
+
+        def and_(a, b):
+            if a is None:
+                return b
+            if b is None:
+                return a
+            return lambda x, *i: (F.coalesce(a(x, *i), F.lit(False))
+                                  & F.coalesce(b(x, *i), F.lit(False)))
+
+        def bvalid(s, suffix):
+            return self.lower(s, _Ctx(
+                dtype=ctx.dtype, path=ctx.path + suffix, scope=ctx.scope,
+                dpath=ctx.dpath, elementable=False, array=ctx.array,
+                array_key=ctx.array_key, spointer=_sp(ctx) + suffix,
+                stageable=ctx.stageable, options=ctx.options)).valid
+
+        out: list = []
+
+        def walk(s, cond, suffix):
+            if not isinstance(s, dict):
+                return
+            names = set(s.get("properties", {}) or {})
+            pats = list(s.get("patternProperties", {}) or {})
+            claims_all = isinstance(
+                s.get("additionalProperties"), (dict, bool)
+            ) or (s is not schema and isinstance(
+                s.get("unevaluatedProperties"), (dict, bool)))
+            if names or pats or claims_all:
+                matchers = [driver_regex_matcher(p) for p in pats]
+                out.append((cond, names, matchers, claims_all))
+            for idx, sub in enumerate(s.get("allOf", []) or []):
+                walk(sub, cond, suffix + ("allOf", str(idx)))
+            if isinstance(s.get("if"), (dict, bool)):
+                cif = bvalid(s["if"], suffix + ("if",))
+                walk(s["if"], and_(cond, cif), suffix + ("if",))
+                if "then" in s:
+                    walk(s["then"], and_(cond, cif), suffix + ("then",))
+                if "else" in s:
+                    def nif(x, *i, _c=cif):
+                        return ~F.coalesce(_c(x, *i), F.lit(False))
+                    walk(s["else"], and_(cond, nif), suffix + ("else",))
+            for kw in ("anyOf", "oneOf"):
+                for idx, sub in enumerate(s.get(kw, []) or []):
+                    bsuf = suffix + (kw, str(idx))
+                    walk(sub, and_(cond, bvalid(sub, bsuf)), bsuf)
+            for k, sub in (s.get("dependentSchemas") or {}).items():
+                def present(x, *i, _k=k):
+                    return x.getField(_k).isNotNull()
+                bsuf = suffix + ("dependentSchemas", k)
+                walk(sub, and_(cond, and_(present, bvalid(sub, bsuf))), bsuf)
+
+        walk(schema, None, ())
+        return out
 
     # ------------------------------------------------------------------
     def _lower_map(self, schema, ctx: _Ctx, out, valids, emit) -> None:

@@ -178,13 +178,47 @@ def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list
                 fail("not")
         elif kw == "unevaluatedProperties":
             if isinstance(value, dict) and isinstance(sval, (dict, bool)):
-                from jsonschema_rs_spark.compiler import _claimed_props
+                # dynamic claims: annotations count only from branches that
+                # actually APPLIED to this value (mirrors the engine's
+                # conditional claim resolution)
+                claimed: set = set()
+                claims_all = [False]
 
-                names, pats, all_claimed = _claimed_props(schema)
-                if not all_claimed:
-                    crx = [re.compile(p) for p in pats]
+                def collect(s):
+                    if not isinstance(s, dict):
+                        return
+                    claimed.update(s.get("properties", {}) or {})
+                    for p in (s.get("patternProperties") or {}):
+                        for name in value:
+                            if re.search(p, name):
+                                claimed.add(name)
+                    if isinstance(s.get("additionalProperties"),
+                                  (dict, bool)) or (
+                        s is not schema and isinstance(
+                            s.get("unevaluatedProperties"), (dict, bool))
+                    ):
+                        claims_all[0] = True
+                    for sub in s.get("allOf", []) or []:
+                        collect(sub)
+                    if isinstance(s.get("if"), (dict, bool)):
+                        if _is_valid(s["if"], value):
+                            collect(s["if"])
+                            if "then" in s:
+                                collect(s["then"])
+                        elif "else" in s:
+                            collect(s["else"])
+                    for kw2 in ("anyOf", "oneOf"):
+                        for sub in s.get(kw2, []) or []:
+                            if _is_valid(sub, value):
+                                collect(sub)
+                    for k2, sub in (s.get("dependentSchemas") or {}).items():
+                        if value.get(k2) is not None and _is_valid(sub, value):
+                            collect(sub)
+
+                collect(schema)
+                if not claims_all[0]:
                     for name, v in value.items():
-                        if name in names or any(r.search(name) for r in crx):
+                        if name in claimed:
                             continue
                         out.extend(_errors(
                             sval, v, path + ("unevaluatedProperties", name)))
