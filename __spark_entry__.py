@@ -376,6 +376,25 @@ def q_mm_media_features(spark, sf_dir):
     return feats.select("media_ref", "media_kind", "n_bytes", "header_hex")
 
 
+def q_mm_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: one media row fans out to 4 deterministic
+    byte-slice 'frames' (stub for ffmpeg extraction); the mapInPandas
+    fan-out shape and frame offsets are oracle-checked exactly."""
+    fs = flat_spans(spark, sf_dir)
+    media = (
+        fs.filter(F.col("media_ref").isNotNull())
+        .select("media_ref", F.col("kind").alias("media_kind"))
+        .distinct()
+    )
+    media = MM.attach_fake_payload(media)
+    frames = MM.sample_frames(media, n_frames=4, frame_bytes=8)
+    return frames.select(
+        "media_ref", "media_kind",
+        F.col("frame_index").cast("int").alias("frame_index"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -420,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_ann": q_sim_ivf_ann,
         "sim_near_dup": q_sim_near_dup,
         "mm_media_features": q_mm_media_features,
+        "mm_frame_sample": q_mm_frame_sample,
     }
 
 
@@ -972,5 +992,24 @@ SELECT DISTINCT media_ref, kind AS media_kind,
        CAST(8 * len(media_ref) AS INTEGER) AS n_bytes,
        lower(hex(encode(substr(media_ref, 1, 4)))) AS header_hex
 FROM spans WHERE media_ref IS NOT NULL
+""",
+        "mm_frame_sample": SPANS_CTE_SQL + """
+, m AS (
+    SELECT DISTINCT media_ref, kind AS media_kind
+    FROM spans WHERE media_ref IS NOT NULL
+),
+p AS (SELECT media_ref, media_kind,
+             repeat(media_ref, 8) AS payload FROM m),
+f AS (
+    -- the payload is ascii, so char offsets == byte offsets
+    SELECT media_ref, media_kind, t.i AS frame_index,
+           substr(payload,
+                  CAST((t.i * (len(payload) - 8)) // 3 AS BIGINT) + 1,
+                  8) AS frame
+    FROM p, unnest(range(0, 4)) AS t(i)
+)
+SELECT media_ref, media_kind, CAST(frame_index AS INTEGER) AS frame_index,
+       lower(hex(encode(frame))) AS frame_hex
+FROM f
 """,
     }

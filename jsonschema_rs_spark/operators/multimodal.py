@@ -83,6 +83,98 @@ def _decode_stub(kind: str, payload: bytes) -> list[float]:
     return [round(a / n * 8, 6) for a in acc]
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("media_kind", StringType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("media_kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("meta", StructType([
+            StructField("bytes", IntegerType()),
+            StructField("mime", StringType()),
+        ])),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4,
+                  frame_bytes: int = 8, batch_rows: int = 256) -> DataFrame:
+    """Evenly-spaced frame sampling over binary payloads: one input row
+    fans out to ``n_frames`` output rows.
+
+    The Spark-side shape is the real part (``mapInPandas`` row fan-out with
+    bounded Arrow batches — the plan a video pipeline needs at 100 TB where
+    one task streams many small frame batches).  The frame EXTRACTION is a
+    deterministic byte-slice STUB — the production implementation point is
+    ffmpeg keyframe/stride extraction in place of the slicing loop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start:start + batch_rows]
+                refs, kinds, idxs, frames = [], [], [], []
+                for ref, kind, p in zip(chunk["media_ref"],
+                                        chunk["media_kind"],
+                                        chunk["payload"]):
+                    p = p or b""
+                    span = max(len(p) - frame_bytes, 0)
+                    for i in range(n_frames):
+                        off = (i * span) // max(n_frames - 1, 1)
+                        refs.append(ref)
+                        kinds.append(kind)
+                        idxs.append(i)
+                        frames.append(p[off:off + frame_bytes])
+                yield pd.DataFrame({
+                    "media_ref": refs, "media_kind": kinds,
+                    "frame_index": idxs, "frame": frames,
+                })
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_media(media: DataFrame, out_bytes: int = 16,
+                 batch_rows: int = 256) -> DataFrame:
+    """Payload 'resize' keeping the media schema (payload + meta).
+
+    STUB transform: deterministic nearest-neighbor byte downsample —
+    production point: PIL/opencv decode → resize → re-encode (image) or
+    resample (audio).  Schema, Arrow batching, and meta rewrite are real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start:start + batch_rows]
+                resized = []
+                for p in chunk["payload"]:
+                    p = p or b""
+                    if not p:
+                        resized.append(b"")
+                        continue
+                    resized.append(bytes(
+                        p[(i * len(p)) // out_bytes]
+                        for i in range(out_bytes)
+                    ))
+                yield pd.DataFrame({
+                    "media_ref": chunk["media_ref"].values,
+                    "media_kind": chunk["media_kind"].values,
+                    "payload": resized,
+                    "meta": [
+                        {"bytes": len(r), "mime": "application/octet-stream"}
+                        for r in resized
+                    ],
+                })
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def extract_media_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

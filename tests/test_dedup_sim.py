@@ -159,3 +159,28 @@ def test_multimodal_feature_plumbing(spark):
     assert rows["media://1"]["n_bytes"] == len("media://1") * 8
     assert len(rows["media://1"]["feature"]) == 8
     assert rows["media://1"]["header_hex"] == "media://1".encode()[:4].hex()
+
+
+def test_multimodal_frame_sampling_and_resize(spark):
+    from jsonschema_rs_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [("media://1", "video"), ("media://22", "video")],
+        "media_ref string, media_kind string",
+    )
+    media = MM.attach_fake_payload(df)
+    frames = MM.sample_frames(media, n_frames=4, frame_bytes=8).collect()
+    by_ref = {}
+    for r in frames:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    assert all(len(v) == 4 for v in by_ref.values())  # row fan-out
+    payload = ("media://1" * 8).encode()
+    span = len(payload) - 8
+    for r in by_ref["media://1"]:
+        off = (r["frame_index"] * span) // 3
+        assert bytes(r["frame"]) == payload[off:off + 8]
+
+    resized = MM.resize_media(media, out_bytes=16).collect()
+    for r in resized:
+        assert len(bytes(r["payload"])) == 16
+        assert r["meta"]["bytes"] == 16
