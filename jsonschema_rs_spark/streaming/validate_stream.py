@@ -42,6 +42,55 @@ def stream_violations(stream: DataFrame, compiled: CompiledSpec,
     )
 
 
+def windowed_chi2_drift(
+    stream: DataFrame,
+    cat_col: str,
+    ts_col: str,
+    ref_dist: dict[str, float],
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    threshold: float = 27.0,
+) -> DataFrame:
+    """Per-window χ² drift vs a REFERENCE categorical distribution.
+
+    A stream cannot see the global distribution, so the reference comes from
+    the spec (e.g. the x-dataset section's expected kind mix) as driver
+    literals.  Structured Streaming forbids chained stateful aggregations,
+    so the per-category histogram folds into ONE windowed agg (one
+    conditional-sum column per known category — categories are static in the
+    spec); the statistic is then plain Column math.  Rows whose category is
+    outside the reference are counted separately (``n_other``).  State is
+    bounded by open windows × 1 row."""
+    cats = list(ref_dist)
+    total_p = sum(ref_dist.values())
+    hist = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            *[
+                F.sum((F.col(cat_col) == c).cast("long")).alias(f"_n{i}")
+                for i, c in enumerate(cats)
+            ],
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    known = F.lit(0)
+    for i in range(len(cats)):
+        known = known + F.coalesce(F.col(f"_n{i}"), F.lit(0))
+    chi2 = F.lit(0.0)
+    for i, c in enumerate(cats):
+        expected = F.lit(ref_dist[c] / total_p) * known
+        n_i = F.coalesce(F.col(f"_n{i}"), F.lit(0)).cast("double")
+        chi2 = chi2 + (n_i - expected) ** 2 / expected
+    return hist.select(
+        "window",
+        F.col("n_rows"),
+        (F.col("n_rows") - known).alias("n_other"),
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > threshold).alias("drifted"),
+    )
+
+
 def windowed_verdict_counts(
     stream: DataFrame,
     compiled: CompiledSpec,

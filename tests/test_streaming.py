@@ -47,3 +47,39 @@ def test_stream_matches_batch(spark, tmp_path):
     }
     batch = {tuple(r) for r in violations(df, compiled).collect()}
     assert streamed == batch
+
+
+def test_windowed_chi2_drift_flags_shifted_window(spark, tmp_path):
+    """Streaming drift monitor: χ² vs a spec reference distribution in ONE
+    windowed agg (no chained stateful aggs); the drifted window flags."""
+    import datetime as dt
+
+    from jsonschema_rs_spark.streaming.validate_stream import (
+        windowed_chi2_drift,
+    )
+
+    src = str(tmp_path / "drift_src")
+    base = dt.datetime(2024, 1, 1)
+    rows_ok = [("a" if i % 2 else "b", base + dt.timedelta(seconds=i))
+               for i in range(200)]
+    rows_drift = [("a", base + dt.timedelta(minutes=5, seconds=i))
+                  for i in range(200)]  # all-'a' window vs 50/50 reference
+    spark.createDataFrame(rows_ok + rows_drift, "kind string, ts timestamp") \
+        .write.parquet(f"{src}/f1.parquet")
+
+    stream = (spark.readStream
+              .schema("kind string, ts timestamp")
+              .parquet(f"{src}/*"))
+    out = windowed_chi2_drift(stream, "kind", "ts",
+                              ref_dist={"a": 0.5, "b": 0.5},
+                              window="1 minute", threshold=27.0)
+    q = (out.writeStream.format("memory").queryName("drift")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    res = {r["window"]["start"].minute: r
+           for r in spark.sql("select * from drift").collect()}
+    flagged = [m for m, r in res.items() if r["drifted"]]
+    assert 5 in flagged or 6 in flagged  # the planted all-'a' windows
+    ok_windows = [m for m in res if m < 4]
+    assert all(not res[m]["drifted"] for m in ok_windows)
+    assert all(r["n_other"] == 0 for r in res.values())
