@@ -100,7 +100,7 @@ def main() -> None:
     # best-of-2: this shared host shows 3-10x co-tenant wall-time swings.
     for name in ("ds_chi2_drift", "ds_ref_integrity", "txt_stats",
                  "dedup_minhash_lsh", "dedup_simhash", "sim_topk",
-                 "kw_unique_items"):
+                 "kw_unique_items", "apply_basic"):
         fn = E.queries()[name]
         timed(name, lambda _f=fn: _force(_f(spark, sf_dir)), repeat=2)
 
