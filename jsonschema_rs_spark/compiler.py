@@ -1010,6 +1010,17 @@ class Lowerer:
                         sp_extra=("unevaluatedProperties",))
                 if not conds:
                     continue
+                if any(c.scope != ctx.scope for c in out[mark_out:]):
+                    # cross-scope (element) constraints can't see the node
+                    # instance the claim conditions evaluate on
+                    raise SpecError(
+                        f"unevaluatedProperties at {ctx.cid()}: field "
+                        f"{fname!r} is claimed only conditionally but its "
+                        "unevaluated schema produces nested-array element "
+                        "constraints, which cannot be gated on the claim "
+                        "condition; claim it unconditionally or simplify "
+                        "the unevaluated schema"
+                    )
                 # field claimed only conditionally: the unevaluated check
                 # applies exactly when NO claimant branch applied
                 def claimed(x, *i, _cs=tuple(conds)):

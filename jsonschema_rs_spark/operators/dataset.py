@@ -255,12 +255,12 @@ def ks_drift(
         base = df.select(F.col(part_col), F.col(num_col))
     else:
         mm = df.agg(
-            F.min(num_col).cast("double").alias("_lo"),
-            F.max(num_col).cast("double").alias("_hi"),
+            F.min(num_col).cast("double").alias("__ks_lo"),
+            F.max(num_col).cast("double").alias("__ks_hi"),
         )
         base = df.select(F.col(part_col), F.col(num_col)).crossJoin(
             F.broadcast(mm))
-        lo_c, hi_c = F.col("_lo"), F.col("_hi")
+        lo_c, hi_c = F.col("__ks_lo"), F.col("__ks_hi")
     width = (hi_c - lo_c) / F.lit(float(n_bins))
     width = F.when(width == 0, F.lit(1.0)).otherwise(width)
     bucket = F.least(

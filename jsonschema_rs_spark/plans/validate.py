@@ -235,6 +235,10 @@ def verdicts(df: DataFrame, compiled: CompiledSpec,
     inside array HOFs, which Spark interprets (CodegenFallback) at a 25-40x
     per-core penalty.  Only right when any shuffle at all is unacceptable;
     returns PER-ROW verdicts (duplicate ids not merged).
+
+    NULL ids: the prefilter join drops NULL join keys, so a NULL-id doc is
+    reported valid regardless of content — reject or synthesize ids first
+    (the resumable runner enforces the same for partition keys).
     """
     if strategy == "hof":
         return validation_frame(df, compiled, id_cols, mode="verdicts")
