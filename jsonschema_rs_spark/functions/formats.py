@@ -35,14 +35,24 @@ _DATETIME_RE = (
 _DURATION_RE = (
     r"^P(\d+W|(\d+Y)?(\d+M)?(\d+D)?(T(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?)$"
 )
-_EMAIL_RE = r"^[^@\s]+@[^@\s]+$"
-_HOSTNAME_RE = (
-    r"^(([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9-]{0,61}[a-zA-Z0-9])\.)*"
-    r"([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9-]{0,61}[a-zA-Z0-9])$"
+_HOSTNAME_BODY = (
+    r"(([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9-]{0,61}[a-zA-Z0-9])\.)*"
+    r"([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9-]{0,61}[a-zA-Z0-9])"
 )
+_HOSTNAME_RE = rf"^{_HOSTNAME_BODY}$"
+# RFC 5321/5322 dot-atom local part (no leading/trailing/double dots) @
+# hostname or bracketed address literal (reference validates email
+# structurally, format.rs; this keeps the whole check one regex so the
+# Spark rlike and the pure-Python oracle share it verbatim)
+_EMAIL_LOCAL = (
+    r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+"
+    r"(\.[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+)*"
+)
+_EMAIL_RE = rf"^{_EMAIL_LOCAL}@({_HOSTNAME_BODY}|\[[0-9A-Fa-f.:]+\])$"
 _IPV4_RE = r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
 _UUID_RE = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
-_URI_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*:[^\s]*$"
+# scheme : hier-part — reject whitespace and RFC 3986-excluded characters
+_URI_RE = r'^[a-zA-Z][a-zA-Z0-9+.-]*:[^\s<>"{}|\\^`]*$'
 _URI_REF_RE = r"^[^\s]*$"
 _URI_TEMPLATE_RE = r"^([^\x00-\x20\x7f\"'%<>\\^`{|}]|%[0-9a-fA-F]{2}|\{[+#./;?&=,!@|]?((\w|%[0-9a-fA-F]{2})(\.?(\w|%[0-9a-fA-F]{2}))*(:[1-9]\d{0,3}|\*)?)(,((\w|%[0-9a-fA-F]{2})(\.?(\w|%[0-9a-fA-F]{2}))*(:[1-9]\d{0,3}|\*)?))*\})*$"
 _JSON_POINTER_RE = r"^(/([^/~]|~[01])*)*$"
