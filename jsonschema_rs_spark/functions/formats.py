@@ -165,7 +165,9 @@ FORMATS: dict[str, Callable[[Column], Column]] = {
     "time": _time,
     "duration": lambda c: c.rlike(_DURATION_RE) & (c != F.lit("P")) & ~c.endswith("T"),
     "email": _rx(_EMAIL_RE),
-    "idn-email": _rx(_EMAIL_RE),
+    # idn-email allows non-ASCII local parts and U-label domains, which the
+    # strict ASCII dot-atom email regex would reject — shape-check only
+    "idn-email": _rx(r"^[^@\s]+@[^@\s]+$"),
     "hostname": lambda c: (F.length(c) <= 253) & c.rlike(_HOSTNAME_RE),
     "idn-hostname": lambda c: _idn_hostname_udf(c),
     "ipv4": _rx(_IPV4_RE),

@@ -347,6 +347,7 @@ def _check_format(fmt: str, v: str) -> bool:
     rx = {
         "uuid": FM._UUID_RE,
         "email": FM._EMAIL_RE,
+        "idn-email": r"^[^@\s]+@[^@\s]+$",
         "json-pointer": FM._JSON_POINTER_RE,
         "relative-json-pointer": FM._REL_JSON_POINTER_RE,
         "uri": FM._URI_RE,
