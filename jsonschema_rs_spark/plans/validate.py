@@ -592,6 +592,8 @@ def with_messages(viol_df: DataFrame) -> DataFrame:
         F.concat(F.lit(" at span "), F.col("span_index").cast("string")),
     ).otherwise(F.lit(""))
     return viol_df.withColumn(
+        "kind", error_kind_column(F.col("constraint_id"))
+    ).withColumn(
         "message",
         F.concat(
             F.lit("value '"),
