@@ -25,7 +25,8 @@ def main(argv=None) -> int:
     p.add_argument("--format", default="parquet",
                    choices=["parquet", "iceberg"])
     p.add_argument("--mode", default="violations",
-                   choices=["violations", "verdicts", "rollup", "resumable"])
+                   choices=["violations", "verdicts", "rollup", "resumable",
+                            "basic"])
     p.add_argument("--part-col", default="part_key")
     p.add_argument("--id-cols", default="doc_id")
     p.add_argument("--out", help="output dir (violation rows parquet)")
@@ -40,6 +41,7 @@ def main(argv=None) -> int:
 
     from jsonschema_rs_spark.compiler import compile_spec
     from jsonschema_rs_spark.plans.validate import (
+        basic_output,
         partition_rollup,
         verdicts,
         violations,
@@ -71,6 +73,15 @@ def main(argv=None) -> int:
         print(json.dumps({"docs": total, "valid": valid,
                           "result": "VALID" if valid == total else "INVALID"}))
         return 0 if valid == total else 1
+    elif args.mode == "basic":
+        # per-error units with JSON-Pointer locations + typed kinds — the
+        # CLI analogue of the reference's error listing (main.rs:49-61)
+        out = basic_output(df, compiled, id_cols=id_cols)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+        else:
+            for row in out.limit(100).collect():
+                print(json.dumps(row.asDict()))
     elif args.mode == "rollup":
         out = partition_rollup(df, compiled, args.part_col, id_cols=id_cols)
         for row in out.collect():
