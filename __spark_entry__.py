@@ -33,6 +33,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _ensure_splits(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the input arrives under-split.
+
+    The sandbox's single-file sf parquet yields 1-2 scan splits, starving
+    every core; a real 100-TB input arrives pre-split and must NOT be
+    full-shuffled on ingest (round-2 baked an unconditional repartition in
+    here — wrong reflex at scale, and a suspect in the BENCH_r02 entry-query
+    regressions)."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -47,8 +61,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = d.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
-    return d.unionByName(dup).repartition(
-        spark.sparkContext.defaultParallelism)
+    return _ensure_splits(spark, d.unionByName(dup))
 
 
 _CORPUS_SQL = """
@@ -303,8 +316,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism)
+    d = _ensure_splits(spark, _docs(spark, sf_dir))
     return DD.simhash_table(d, "doc_id", "text")
 
 

@@ -80,29 +80,32 @@ def main() -> None:
     # 100 TB on a real cluster); timings measure per-byte execution
     from jsonschema_rs_spark.plans.validate import verdicts as _verdicts
 
-    verdicts_df = _verdicts(df, compiled)  # default: codegen prefilter
+    verdicts_df = _verdicts(df, compiled)  # default: single-scan exploded agg
     verdicts_hof_df = validation_frame(df, compiled, mode="verdicts")
-    verdicts_ex_df = _verdicts(df, compiled, strategy="exploded")
+    verdicts_pf_df = _verdicts(df, compiled, strategy="prefilter")
     violations_df = violations(df, compiled)
     rollup_df = partition_rollup(df, compiled, "part_key")
 
     # repeat=3 for the headline plans: the shared host shows 3-10x co-tenant
     # swings and the first run pays the page-cache fill; min-of-3 recovers
     # the engine's own cost (isolated steady-state ~0.5-0.9s for violations)
+    # verdicts_fast_path IS the 'exploded' strategy since round 3 (the
+    # default flipped per BENCH_r02: exploded 1.06s vs prefilter 6.03s)
     timed("verdicts_fast_path", lambda: _force(verdicts_df), repeat=3)
     timed("verdicts_hof", lambda: _force(verdicts_hof_df), repeat=2)
-    timed("verdicts_exploded", lambda: _force(verdicts_ex_df), repeat=3)
+    timed("verdicts_prefilter", lambda: _force(verdicts_pf_df), repeat=2)
     timed("violations_full", lambda: _force(violations_df), repeat=3)
     timed("partition_rollup", lambda: rollup_df.collect(), repeat=2)
 
     # representative entry queries at the raw sf (no amplification);
     # plan build included here (it is part of each query's cost).
-    # best-of-2: this shared host shows 3-10x co-tenant wall-time swings.
+    # best-of-3: this shared host shows 3-10x co-tenant wall-time swings
+    # (BENCH_r02's unexplained entry regressions were best-of-2 artifacts)
     for name in ("ds_chi2_drift", "ds_ref_integrity", "txt_stats",
                  "dedup_minhash_lsh", "dedup_simhash", "sim_topk",
                  "kw_unique_items", "apply_basic"):
         fn = E.queries()[name]
-        timed(name, lambda _f=fn: _force(_f(spark, sf_dir)), repeat=2)
+        timed(name, lambda _f=fn: _force(_f(spark, sf_dir)), repeat=3)
 
     flagship_sec = timings["violations_full"]
     out = {

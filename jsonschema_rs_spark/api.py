@@ -54,12 +54,14 @@ class SparkValidator:
         self.compiled = compiled
         self.id_cols = tuple(id_cols)
 
-    def is_valid(self, df: DataFrame, strategy: str = "prefilter") -> DataFrame:
+    def is_valid(self, df: DataFrame, strategy: str = "exploded") -> DataFrame:
         """Boolean verdict per document id — the fast path.
 
-        Defaults to the codegen 'prefilter' strategy (violations-derived,
-        ~18x faster per core than the interpreted HOF projection); pass
-        strategy='hof' for the zero-shuffle per-row variant."""
+        Defaults to the single-scan codegen 'exploded' strategy (narrow
+        explode → map-side-combined agg; BENCH_r02 driver record: 1.06s vs
+        6.03s 'prefilter' and 4.07s 'hof' on the same 100k-doc input).
+        Pass strategy='hof' for the zero-shuffle per-row variant or
+        'prefilter' for the violations-derived join."""
         if strategy == "hof":
             return validation_frame(df, self.compiled, self.id_cols,
                                     mode="verdicts")

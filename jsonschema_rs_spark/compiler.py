@@ -438,6 +438,14 @@ def _pattern_udf(pat: str):
     return lambda x: _re_search(x)
 
 
+# keyword containers whose dict KEYS are member names / patterns / anchor
+# names, not schema keywords (the values are the schemas)
+_NAME_CONTAINERS = frozenset((
+    "properties", "patternProperties", "$defs", "definitions",
+    "dependentSchemas", "dependencies",
+))
+
+
 def _needs_python(schema: Any, options: EngineOptions) -> bool:
     """Static check: does this subtree contain a python-backed leaf check
     (untranslatable pattern / UDF format)?  Used to reject such leaves in
@@ -453,12 +461,24 @@ def _needs_python(schema: Any, options: EngineOptions) -> bool:
     fmt = schema.get("format")
     if (
         options.validate_formats
-        and fmt in FORMATS_PY
+        and isinstance(fmt, str)  # a property literally named "format"
+        and fmt in FORMATS_PY     # puts a dict here — not a format assert
         and fmt not in options.custom_formats
     ):
         return True
     for k, v in schema.items():
         if k in ("enum", "const"):
+            continue
+        if k in _NAME_CONTAINERS:
+            # values of these containers ARE schemas, but their KEYS are
+            # member names / patterns — never interpret a dict keyed by
+            # property names as a schema (a property named "format" would
+            # otherwise read as a format assertion)
+            if isinstance(v, dict) and any(
+                isinstance(s, dict) and _needs_python(s, options)
+                for s in v.values()
+            ):
+                return True
             continue
         if isinstance(v, dict) and _needs_python(v, options):
             return True

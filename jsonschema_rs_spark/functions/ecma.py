@@ -39,11 +39,29 @@ def _java_compiles(pattern: str) -> Optional[bool]:
         jvm = spark._jvm  # noqa: SLF001 - driver-side dialect check
         if jvm is None:
             return None
+    except Exception:
+        return None
+    try:
         jvm.java.util.regex.Pattern.compile(pattern)
         return True
-    except Exception:
-        # reached the JVM and it rejected the pattern
-        return False
+    except Exception as exc:  # only a JVM SYNTAX rejection means False:
+        # a py4j transport / connectivity error misreported as "Java
+        # rejected the pattern" would raise SpecError on valid Java-only
+        # patterns (named groups, \p{L}) and silently route valid patterns
+        # to the slower Python fallback.
+        # PySpark 4 re-raises PatternSyntaxException as its captured
+        # IllegalArgumentException; raw py4j errors carry java_exception.
+        names = [type(exc).__name__]
+        java_exc = getattr(exc, "java_exception", None)
+        if java_exc is not None:
+            try:
+                names.append(java_exc.getClass().getName())
+            except Exception:
+                return None
+        if any("PatternSyntaxException" in n or "IllegalArgumentException" in n
+               for n in names):
+            return False
+        return None  # connectivity / unknown failure, not a pattern verdict
 
 
 def _translate(pattern: str) -> str:

@@ -39,19 +39,35 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str,
     The default output carries only BOUNDED aggregation state (count + min):
     at 100 TB a degenerate fingerprint (empty docs, boilerplate) can have
     millions of members, and a ``collect_list`` of their ids is one reducer
-    OOM.  Pass ``sample_ids=k`` to additionally emit up to k member ids
-    (explicitly capped, for triage UIs — not for pipeline joins)."""
-    base = (
-        df.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
-        .groupBy("fp")
-        .agg(
-            F.count(F.lit(1)).alias("n_dups"),
-            F.min("id").alias("keep_id"),
-            *([F.slice(F.sort_array(F.collect_list("id")), 1, sample_ids)
-               .alias("dup_ids")] if sample_ids else []),
-        )
+    OOM.  Pass ``sample_ids=k`` to additionally emit the k LOWEST member ids
+    (for triage UIs — not for pipeline joins).  The sample is capped BEFORE
+    aggregation: a ``row_number`` over the fingerprint ranks members, and
+    only rank ≤ k rows enter the ``collect_list``, so the aggregation buffer
+    holds ≤ k ids per fingerprint no matter how degenerate the group (the
+    window's sort is an ExternalSorter — spillable, unlike agg state)."""
+    base = df.select(
+        F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp")
     )
-    return base.filter(F.col("n_dups") > 1)
+    if sample_ids:
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(Window.partitionBy("fp").orderBy("id"))
+        base = base.withColumn("_rn", rn)
+        sample_agg = [
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= sample_ids, F.col("id"))
+                )
+            ).alias("dup_ids")
+        ]
+    else:
+        sample_agg = []
+    out = base.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min("id").alias("keep_id"),
+        *sample_agg,
+    )
+    return out.filter(F.col("n_dups") > 1)
 
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

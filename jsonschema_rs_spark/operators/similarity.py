@@ -189,15 +189,24 @@ def lsh_ann_topk(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col)),
         "query_id",
     ).withColumnRenamed(vec_col, "qv")
-    cand = (
+    # Score each band-join candidate row MAP-SIDE, then dedupe band
+    # duplicates with a combinable agg on (query_id, vec_id): the shuffle
+    # carries narrow (ids, cos) rows only.  The previous `.distinct()` over
+    # rows including v/qv shipped every duplicate's full embedding through
+    # the exchange — at 100 TB of embeddings that dominates the job.  A
+    # pair's cos is deterministic across bands, so max() == the value; the
+    # ≤`bands`-fold re-scoring stays in codegen and never touches the wire.
+    scored = (
         cb.join(F.broadcast(qb), ["band", "bucket"])
-        .select("query_id", "vec_id", F.col(vec_col).alias("v"), "qv")
-        .distinct()
-    )
-    scored = cand.select(
-        "query_id",
-        "vec_id",
-        cosine(_as_double(F.col("v")), _as_double(F.col("qv"))).alias("cos"),
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(_as_double(F.col(vec_col)), _as_double(F.col("qv"))).alias(
+                "cos"
+            ),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("cos").alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
@@ -377,24 +386,25 @@ def near_duplicates_cosine(
     buckets = base.select(
         "id", "v", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    pairs = (
+    # Score inside the bucket join and THRESHOLD before the dedup shuffle:
+    # only narrow (id_a, id_b, cos) rows that already pass the threshold
+    # cross the exchange, and band duplicates collapse in a map-side
+    # combinable agg.  (Previously `.distinct()` shuffled full va/vb
+    # vectors per band duplicate.)  cos is deterministic per pair across
+    # bands, so max() == the value.
+    return (
         buckets.alias("a")
         .join(buckets.alias("b"), ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
-        .distinct()
-    )
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            cosine(_as_double(F.col("va")), _as_double(F.col("vb"))).alias("cos"),
+            cosine(_as_double(F.col("a.v")), _as_double(F.col("b.v"))).alias(
+                "cos"
+            ),
         )
         .filter(F.col("cos") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cos").alias("cos"))
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

@@ -214,22 +214,24 @@ def validation_frame(
 
 def verdicts(df: DataFrame, compiled: CompiledSpec,
              id_cols: Sequence[str] = ("doc_id",),
-             strategy: str = "prefilter") -> DataFrame:
+             strategy: str = "exploded") -> DataFrame:
     """Per-doc-id boolean verdicts.
 
-    strategy='prefilter' (DEFAULT): a doc is invalid iff it has ≥1 violating
-    row, so the verdict derives from the whole-stage-codegen ``violations``
-    plan: pre-filtered exploded scan → distinct over VIOLATING ids only →
-    left join marks validity.  The join's build side is proportional to the
-    violation rate (tiny at production pass rates → AQE broadcasts it), and
-    the expensive predicate evaluation stays fully codegen.  Measured ~18x
-    faster per core than 'hof' (BENCH_r01: 31.7s hof vs 1.7s violations on
-    the same input) — the analogue of the reference's cheap ``is_valid``
-    mode (``validator.rs:28-89``), which round 1 had inverted.
+    strategy='exploded' (DEFAULT): ONE codegen scan — narrow explode, per-row
+    boolean violation flags, then a hash agg keyed by the doc id.  The agg is
+    map-side combined (partial_sum per mapper), so the shuffle carries
+    O(distinct ids) narrow rows, no second scan, no join.  The driver record
+    measured it 5.7x faster than 'prefilter' and within 2x of the raw
+    violations plan (BENCH_r02: exploded 1.06s vs prefilter 6.03s vs
+    violations 1.68s on 100k docs / 5.4M spans) — the analogue of the
+    reference's cheap ``is_valid`` mode (``validator.rs:28-89``).
 
-    strategy='exploded': codegen explode + hash agg keyed by the doc id
-    (map-side combined booleans).  Shuffles O(docs·spans) exploded rows into
-    an O(docs) agg; no join.
+    strategy='prefilter': verdicts derived from the ``violations`` plan —
+    distinct over VIOLATING ids only, left-joined back onto the id universe.
+    The build side is proportional to the violation rate, but it costs a
+    SECOND full scan of the input plus an O(docs) distinct; measured slower
+    than 'exploded' on every recorded input (6.03s vs 1.06s, BENCH_r02).
+    Kept for corpora where the id universe is already materialized cheaply.
 
     strategy='hof': single projection, ZERO shuffle — element predicates run
     inside array HOFs, which Spark interprets (CodegenFallback) at a 25-40x
@@ -237,7 +239,8 @@ def verdicts(df: DataFrame, compiled: CompiledSpec,
     returns PER-ROW verdicts (duplicate ids not merged).
 
     NULL ids: the prefilter join drops NULL join keys, so a NULL-id doc is
-    reported valid regardless of content — reject or synthesize ids first
+    reported valid regardless of content under 'prefilter' ('exploded'
+    groups NULL ids like any other key) — reject or synthesize ids first
     (the resumable runner enforces the same for partition keys).
     """
     if strategy == "hof":
@@ -547,13 +550,25 @@ def error_kind_column(constraint_id: Column) -> Column:
     # keyed keywords put the key/pattern LAST (required/<key>,
     # patternProperties/<pat>): the keyword is then the second-to-last seg
     kw2 = F.when(F.size(segs) >= 2, F.element_at(segs, -2))
+    # ... unless the second-to-last segment is itself a KEY of a
+    # name-container (properties/required/<kw>): then it's a property
+    # name that merely collides with a keyword, and the last segment wins
+    kw3 = F.when(F.size(segs) >= 3, F.element_at(segs, -3))
+    kw2_is_name = F.coalesce(
+        kw3.isin("properties", "patternProperties", "$defs", "definitions",
+                 "dependentSchemas", "dependencies"),
+        F.lit(False),
+    )
     expr = F.lit("Schema")
-    for k in ("required", "dependentRequired", "dependentSchemas",
-              "patternProperties"):
-        expr = F.when(kw2 == k, F.lit(_ERROR_KINDS.get(k, "Schema"))
-                      ).otherwise(expr)
     for k, v in _ERROR_KINDS.items():
         expr = F.when(kw == k, F.lit(v)).otherwise(expr)
+    # keyed-keyword whens OUTERMOST: required/items is 'Required', not
+    # 'Items' — a key that coincides with a keyword name must not shadow
+    # the keyed keyword that owns it
+    for k in ("required", "dependentRequired", "dependentSchemas",
+              "patternProperties"):
+        expr = F.when((kw2 == k) & ~kw2_is_name,
+                      F.lit(_ERROR_KINDS.get(k, "Schema"))).otherwise(expr)
     return expr
 
 

@@ -257,3 +257,63 @@ def test_verdict_fastpath_agrees_with_violations(spark):
     assert b == a
     assert e == {(k, v) for k, v in expect.items()}
     df.unpersist()
+
+
+def test_needs_python_ignores_keyword_named_properties(spark):
+    """A property literally named 'format' or 'pattern' must not be read as
+    a keyword (ADVICE r2: `fmt in FORMATS_PY` raised TypeError on the
+    unhashable subschema dict)."""
+    from jsonschema_rs_spark.compiler import _needs_python
+
+    opts = EngineOptions(validate_formats=True)
+    s = {"contains": {"properties": {"format": {"type": "string"}}}}
+    assert _needs_python(s, opts) is False
+    s2 = {"properties": {"pattern": {"minLength": 1},
+                         "format": {"type": "integer"}}}
+    assert _needs_python(s2, opts) is False
+    # a REAL python-backed leaf under a container is still detected
+    s3 = {"properties": {"x": {"format": "idn-hostname"}}}
+    assert _needs_python(s3, opts) is True
+    # ... and a real one inside a dependency schema
+    s4 = {"dependentSchemas": {"format": {"properties": {
+        "y": {"format": "ipv6"}}}}}
+    assert _needs_python(s4, opts) is True
+
+
+def test_schema_with_keyword_named_property_compiles(spark):
+    # end-to-end: the schema from the ADVICE repro must compile cleanly
+    c = compile_spec(
+        {"properties": {"spans": {"items": {
+            "contains": {"properties": {"format": {"type": "string"}}}}}}},
+        SPAN_TABLE_SCHEMA)
+    assert c.constraints is not None
+
+
+def test_error_kind_keyed_keyword_precedence(spark):
+    """required/<key> where <key> collides with a keyword name must still
+    classify as Required; a property NAME that collides with 'required'
+    must not hijack its keyword's kind (ADVICE r2)."""
+    from jsonschema_rs_spark.plans.validate import error_kind_column
+
+    cids = [
+        ("doc/required/items", "Required"),
+        ("doc/required/media_ref", "Required"),
+        ("doc/properties/required/type", "Type"),
+        ("doc/items/pattern", "Pattern"),
+        ("doc/dependentRequired/pattern", "Required"),
+        ("doc/spans/items/minLength", "MinLength"),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cids], ["cid"])
+    got = {r["cid"]: r["k"] for r in df.select(
+        "cid", error_kind_column(F.col("cid")).alias("k")).collect()}
+    for cid, want in cids:
+        assert got[cid] == want, (cid, got[cid], want)
+
+
+def test_java_compile_check_distinguishes_syntax_rejection(spark):
+    from jsonschema_rs_spark.functions.ecma import _java_compiles, ecma_to_java
+
+    assert _java_compiles(r"(?<year>\d{4})") is True   # Java-only: named group
+    assert _java_compiles(r"[unclosed") is False        # genuine syntax error
+    assert ecma_to_java(r"[unclosed") is None
+    assert ecma_to_java(r"\p{L}+") is not None          # Java-only, kept

@@ -184,3 +184,47 @@ def test_multimodal_frame_sampling_and_resize(spark):
     for r in resized:
         assert len(bytes(r["payload"])) == 16
         assert r["meta"]["bytes"] == 16
+
+
+def test_exact_duplicates_sample_is_bounded_pre_agg(spark):
+    """sample_ids=k must cap the collect_list INPUT (row_number <= k before
+    the agg), not slice after — otherwise a degenerate fingerprint puts
+    every member id in one aggregation buffer (round-2 OOM hazard)."""
+    corpus, planted = _corpus(spark)
+    out = DD.exact_duplicates(corpus, "doc_id", "text", sample_ids=2)
+    rows = out.collect()
+    assert rows, "planted dups must surface"
+    for r in rows:
+        assert len(r["dup_ids"]) <= 2
+        assert r["dup_ids"][0] == r["keep_id"]  # lowest ids, sorted
+        assert r["dup_ids"] == sorted(r["dup_ids"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the cap is a window row_number, visible in the physical plan
+    assert "row_number" in plan, plan
+
+
+def test_lsh_ann_shuffle_carries_no_vectors(spark):
+    """The band-duplicate dedup must shuffle (query_id, vec_id, cos) only:
+    no embedding column may appear under a hashpartitioning exchange
+    (round-2 shipped full vectors through a `.distinct()`)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = SIM.lsh_ann_topk(emb, q, k=5, n_planes=12, bands=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "embedding" not in line and "qv" not in line, line
+    # dedup is a combinable agg (partial max below the exchange), not
+    # a row distinct over vectors
+    assert "partial_max(cos" in plan, plan
+
+
+def test_near_dup_shuffle_carries_no_vectors(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = SIM.near_duplicates_cosine(emb, threshold=0.5, n_planes=8, bands=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "embedding" not in line, line
+    assert "partial_max(cos" in plan, plan

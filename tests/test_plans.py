@@ -44,19 +44,23 @@ def test_verdict_hof_plan_has_no_shuffle(spark, tmp_path):
     assert "Exchange" not in plan, plan
 
 
-def test_verdict_default_is_codegen_prefilter(spark, tmp_path):
-    """The DEFAULT verdict strategy must be the codegen prefilter path:
-    no interpreted HOF lambdas on the hot predicates, and the join build
-    side is the (small) violating-id set."""
+def test_verdict_default_is_single_scan_exploded(spark, tmp_path):
+    """The DEFAULT verdict strategy must be the single-scan exploded agg
+    (BENCH_r02 driver record: 1.06s vs 6.03s prefilter): no interpreted
+    HOF lambdas on the hot predicates, no join, and exactly one scan of
+    the input."""
     df = _spans_parquet(spark, tmp_path)
     compiled = compile_spec(FLAGSHIP_SPEC, df.schema)
     plan = _physical(verdicts(df, compiled))
     assert "lambdafunction" not in plan.lower(), plan
-    # agreement with the exploded strategy on real data
+    assert "Join" not in plan, plan
+    # map-side combined agg: a partial aggregate below the exchange
+    assert "partial" in plan.lower(), plan
+    # agreement between all three strategies on real data
     a = {(r["doc_id"], r["valid"])
          for r in verdicts(df, compiled).collect()}
     b = {(r["doc_id"], r["valid"])
-         for r in verdicts(df, compiled, strategy="exploded").collect()}
+         for r in verdicts(df, compiled, strategy="prefilter").collect()}
     assert a == b
 
 
