@@ -1661,6 +1661,11 @@ def compile_spec(
         validate_formats = draft in (None, 4, 6, 7)
     options = dataclasses.replace(
         options, draft=draft, validate_formats=validate_formats)
+    # self-validate the RAW spec against the draft's meta-schema before
+    # touching refs — the reference's compile-time gate (compiler.rs:246-282)
+    from jsonschema_rs_spark.metaschema import validate_against_metaschema
+
+    validate_against_metaschema(schema, draft)
     resolved = resolve_refs(schema, resources=options.resources or None,
                             recursion_limit=options.recursion_limit)
     validate_spec(resolved, set(options.custom_keywords))
