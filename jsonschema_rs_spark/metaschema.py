@@ -259,10 +259,16 @@ def _meta_errors(value: Any, ms: Any, root: dict, ptr: str,
         if "pattern" in ms and not re.search(ms["pattern"], value):
             fail(f"{value!r} does not match {ms['pattern']!r}")
         if ms.get("format") == "regex":
-            try:
-                re.compile(value)
-            except re.error as exc:
-                fail(f"{value!r} is not a valid regex: {exc}")
+            # the engine's dialect logic, not bare Python re: a Java-only
+            # ECMA pattern like \p{L} is valid even though re rejects it
+            from jsonschema_rs_spark.functions.ecma import (
+                ecma_to_java,
+                python_fallback,
+            )
+
+            if ecma_to_java(value) is None and python_fallback(value) is None:
+                fail(f"{value!r} compiles in neither regex dialect "
+                     "(Java/ECMA nor Python re)")
     if isinstance(value, list):
         if "minItems" in ms and len(value) < ms["minItems"]:
             fail(f"expects at least {ms['minItems']} item(s), got "

@@ -63,12 +63,18 @@ def _pointer_get(doc: Any, pointer: str,
 
 
 def _collect_dynamic_anchors(root: Any) -> dict[str, Any]:
-    """``$dynamicAnchor`` name -> subschema; '' maps to the
-    ``$recursiveAnchor: true`` schema (or the root)."""
+    """``$dynamicAnchor`` name -> subschema for ONE schema resource; ''
+    maps to the ``$recursiveAnchor: true`` schema (or the resource root).
+
+    Nested ``$id``-bearing subschemas are separate resources (their anchors
+    belong to their own dynamic scope, entered via ``$ref``), so the walk
+    stops at them."""
     out: dict[str, Any] = {}
 
-    def walk(s):
+    def walk(s, at_root=False):
         if isinstance(s, dict):
+            if not at_root and isinstance(s.get("$id"), str):
+                return  # a nested resource: its own scope, not ours
             if isinstance(s.get("$dynamicAnchor"), str):
                 out.setdefault(s["$dynamicAnchor"], s)
             if s.get("$recursiveAnchor") is True:
@@ -79,10 +85,22 @@ def _collect_dynamic_anchors(root: Any) -> dict[str, Any]:
             for v in s:
                 walk(v)
 
-    walk(root)
+    walk(root, at_root=True)
     if isinstance(root, dict):
         out.setdefault("", root)
     return out
+
+
+def _dyn_lookup(scopes: tuple, name: str) -> Any | None:
+    """Resolve a dynamic anchor across the dynamic scope: the OUTERMOST
+    schema resource (earliest entered) defining the anchor wins — the
+    reference's runtime dynamic-scope walk (``ref_.rs:82-155``), which is
+    what lets e.g. strictTree override tree's ``node`` anchor.  Round 2
+    used one first-lexical-match map over the root document only."""
+    for scope in scopes:
+        if name in scope:
+            return scope[name]
+    return None
 
 
 def _mark_lenient(schema: Any) -> Any:
@@ -131,22 +149,24 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
     """
     if root is None:
         root = schema
-        if resources is None and isinstance(schema, dict):
+        if isinstance(schema, dict):
             # $defs with $id act as addressable resources too
-            resources = {
+            own = {
                 sub["$id"]: sub
                 for sub in (schema.get("$defs") or {}).values()
                 if isinstance(sub, dict) and "$id" in sub
             }
-        _dyn = _collect_dynamic_anchors(schema)
+            resources = {**own, **(resources or {})} or None
+        _dyn = (_collect_dynamic_anchors(schema),)
     if depth > MAX_REF_DEPTH:
         raise SpecError(
             f"$ref nesting deeper than {MAX_REF_DEPTH}: recursive schemas must be "
             "bounded for columnar compilation"
         )
 
-    def rec(s, d=depth, dd=_dyn_depth):
-        return resolve_refs(s, root, d, resources, recursion_limit, _dyn, dd)
+    def rec(s, d=depth, dd=_dyn_depth, dyn=None):
+        return resolve_refs(s, root, d, resources, recursion_limit,
+                            dyn if dyn is not None else _dyn, dd)
 
     if isinstance(schema, dict):
         if "$recursiveRef" in schema or "$dynamicRef" in schema:
@@ -155,14 +175,15 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
             if not (isinstance(frag, str) and frag.startswith("#")):
                 raise SpecError(f"{key} expects a '#...' fragment, got {frag!r}")
             name = frag[1:].lstrip("/")
-            if _dyn is None or name not in _dyn:
+            anchor = _dyn_lookup(_dyn or (), name)
+            if anchor is None:
                 raise SpecError(
                     f"unresolvable {key} {frag!r}: no matching "
-                    "$dynamicAnchor/$recursiveAnchor in the schema"
+                    "$dynamicAnchor/$recursiveAnchor in the dynamic scope"
                 )
             if _dyn_depth >= recursion_limit:
                 return True  # bounded terminal: permissive past the limit
-            target = _mark_lenient(copy.deepcopy(_dyn[name]))
+            target = _mark_lenient(copy.deepcopy(anchor))
             resolved = rec(target, depth + 1, _dyn_depth + 1)
             siblings = {k: v for k, v in schema.items() if k != key}
             extra = {
@@ -179,9 +200,17 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
                 return wrapper
             return resolved
         if "$ref" in schema:
-            target = copy.deepcopy(
-                _pointer_get(root, schema["$ref"], resources))
-            resolved = rec(target, depth + 1)
+            ref = schema["$ref"]
+            target = copy.deepcopy(_pointer_get(root, ref, resources))
+            new_dyn = _dyn
+            if not ref.startswith("#"):
+                uri = ref.partition("#")[0]
+                if resources and uri in resources:
+                    # entering another schema RESOURCE pushes its dynamic
+                    # scope (innermost last; lookups scan outermost-first)
+                    new_dyn = (_dyn or ()) + (
+                        _collect_dynamic_anchors(resources[uri]),)
+            resolved = rec(target, depth + 1, dyn=new_dyn)
             # Draft 2019+ allows sibling keywords next to $ref: merge them.
             siblings = {k: v for k, v in schema.items() if k != "$ref"}
             if siblings and isinstance(resolved, dict):

@@ -317,3 +317,71 @@ def test_java_compile_check_distinguishes_syntax_rejection(spark):
     assert _java_compiles(r"[unclosed") is False        # genuine syntax error
     assert ecma_to_java(r"[unclosed") is None
     assert ecma_to_java(r"\p{L}+") is not None          # Java-only, kept
+
+
+def test_dynamic_ref_resolves_across_resource_scopes():
+    """$dynamicRef uses the DYNAMIC scope: the outermost entered resource
+    defining the anchor wins (reference ref_.rs:82-155 — the tree /
+    strictTree override), and anchors living only inside a referenced
+    resource resolve once that resource is entered (round-2 first-lexical
+    map over the root doc alone raised 'unresolvable')."""
+    tree = {
+        "$id": "urn:tree",
+        "$dynamicAnchor": "node",
+        "properties": {"spans": {"$dynamicRef": "#node"}},
+    }
+    # 1) anchor defined ONLY in the referenced resource: resolvable
+    out = resolve_refs({"$ref": "urn:tree"}, resources={"urn:tree": tree},
+                       recursion_limit=1)
+    assert "properties" in out
+
+    # 2) the ROOT (outermost scope) overrides the resource's anchor:
+    #    evaluation starting at 'strict' must inline strict's node schema
+    #    inside tree's subtree, not tree's own
+    strict = {
+        "$dynamicAnchor": "node",
+        "minLength": 7,
+        "$ref": "urn:tree",
+    }
+    out = resolve_refs(strict, resources={"urn:tree": tree},
+                       recursion_limit=1)
+
+    def find_minlens(s, acc):
+        if isinstance(s, dict):
+            if "minLength" in s:
+                acc.append(s["minLength"])
+            for v in s.values():
+                find_minlens(v, acc)
+        elif isinstance(s, list):
+            for v in s:
+                find_minlens(v, acc)
+
+    lens = []
+    find_minlens(out, lens)
+    # strict's node (minLength 7) appears under tree's spans position
+    assert 7 in lens, out
+
+
+def test_dynamic_scope_outermost_of_two_resources_wins():
+    b = {"$id": "urn:b", "$dynamicRef": "#n"}
+    a = {"$id": "urn:a",
+         "$dynamicAnchor": "n", "maxLength": 3,
+         "properties": {"text": {"$ref": "urn:b"}}}
+    out = resolve_refs({"$ref": "urn:a"},
+                       resources={"urn:a": a, "urn:b": b},
+                       recursion_limit=1)
+    # inside b, '#n' resolves through the scope chain [root, a, b] -> a's
+    assert out["properties"]["text"].get("maxLength") == 3, out
+
+
+def test_nested_id_resource_anchor_not_leaked_into_parent_scope():
+    # an anchor inside a NESTED $id resource belongs to that resource's
+    # scope; from the parent it is not in scope until the resource is
+    # entered via $ref
+    root = {
+        "$defs": {"other": {"$id": "urn:other", "$dynamicAnchor": "m",
+                            "minimum": 1}},
+        "properties": {"spans": {"$dynamicRef": "#m"}},
+    }
+    with pytest.raises(SpecError, match="unresolvable"):
+        resolve_refs(root)
