@@ -226,6 +226,21 @@ def q_apply_basic(spark, sf_dir):
     return basic_output(df, compile_spec(spec, df.schema))
 
 
+def q_apply_units(spark, sf_dir):
+    """BOTH-polarity basic-output units (VERDICT r02 #6: opt-in annotation
+    units for PASSING keywords, reference output.rs:104-200) on a 1/32
+    part_key slice — the stream is O(spans x keywords) by design."""
+    from jsonschema_rs_spark.plans.validate import basic_output
+
+    df = derive_spans(spark, sf_dir).filter(F.col("part_key") == 3)
+    spec = _span_spec({"items": {"properties": {
+        "kind": {"enum": ["text", "image", "audio"]},
+        "offset": {"minimum": 0},
+    }}})
+    return basic_output(df, compile_spec(spec, df.schema),
+                        include_annotations=True)
+
+
 def q_kw_content(spark, sf_dir):
     """contentEncoding/contentMediaType over deterministically planted
     corruption (VERDICT r01 #10: the only implemented keywords with no
@@ -436,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_bounds": q_kw_bounds,
         "kw_map_deps": q_kw_map_deps,
         "apply_basic": q_apply_basic,
+        "apply_units": q_apply_units,
         "ds_stats_bounds": q_ds_stats_bounds,
         "ds_unique": q_ds_unique,
         "ds_ref_integrity": q_ds_ref_integrity,
@@ -659,6 +675,33 @@ SELECT doc_id, FALSE,
        'value ''' || "offset" || ''' violates multipleOf '
            || '(spans/items/offset/multipleOf) at span ' || span_index
 FROM spans WHERE "offset" % 8 <> 0
+""",
+        "apply_units": SPANS_CTE_SQL + """
+SELECT doc_id,
+       spans.kind IN ('text', 'image', 'audio') AS valid,
+       '/properties/spans/items/properties/kind/enum' AS keyword_location,
+       '/spans/' || span_index || '/kind' AS instance_path,
+       'Enum' AS kind,
+       'spans/items/kind/enum' AS constraint_id, span_index,
+       spans.kind AS observed,
+       CASE WHEN spans.kind IN ('text', 'image', 'audio') THEN NULL
+            ELSE 'value ''' || spans.kind
+                 || ''' violates enum (spans/items/kind/enum)'
+                 || ' at span ' || span_index END AS message
+FROM spans WHERE part_key = 3
+UNION ALL
+SELECT doc_id,
+       "offset" >= 0,
+       '/properties/spans/items/properties/offset/minimum',
+       '/spans/' || span_index || '/offset',
+       'Minimum',
+       'spans/items/offset/minimum', span_index,
+       CAST("offset" AS VARCHAR),
+       CASE WHEN "offset" >= 0 THEN NULL
+            ELSE 'value ''' || "offset"
+                 || ''' violates minimum (spans/items/offset/minimum)'
+                 || ' at span ' || span_index END
+FROM spans WHERE part_key = 3
 """,
         "kw_content": """
 WITH b AS (

@@ -82,11 +82,16 @@ class SparkValidator:
         """Per-partition rollup — the ``apply().basic()`` aggregate view."""
         return partition_rollup(df, self.compiled, part_col, self.id_cols)
 
-    def apply_units(self, df: DataFrame) -> DataFrame:
-        """Basic-output ERROR units with keywordLocation / instanceLocation
-        JSON Pointers and typed kinds — the per-unit ``apply().basic()``
-        analogue (reference ``output.rs:104-200``)."""
-        return basic_output(df, self.compiled, self.id_cols)
+    def apply_units(self, df: DataFrame,
+                    include_annotations: bool = False) -> DataFrame:
+        """Basic-output units with keywordLocation / instanceLocation JSON
+        Pointers and typed kinds — the per-unit ``apply().basic()`` analogue
+        (reference ``output.rs:104-200``).  Default: ERROR units only;
+        ``include_annotations=True`` adds ``valid=true`` units for passing
+        keywords (debugging-sized slices — the stream is O(docs x spans x
+        keywords))."""
+        return basic_output(df, self.compiled, self.id_cols,
+                            include_annotations=include_annotations)
 
 
 def validator_for(schema: Any, table_schema,

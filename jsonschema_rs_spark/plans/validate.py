@@ -573,15 +573,39 @@ def error_kind_column(constraint_id: Column) -> Column:
 
 
 def basic_output(df: DataFrame, compiled: CompiledSpec,
-                 id_cols: Sequence[str] = ("doc_id",)) -> DataFrame:
-    """Basic-output ERROR units (reference ``apply().basic()``,
-    ``output.rs:104-200``): one row per failed keyword with ``valid=false``,
+                 id_cols: Sequence[str] = ("doc_id",),
+                 include_annotations: bool = False) -> DataFrame:
+    """Basic-output units (reference ``apply().basic()``,
+    ``output.rs:104-200``): one row per keyword unit with ``valid``,
     ``keyword_location`` and ``instance_path`` JSON Pointers, a typed
     ``kind``, and the human message.  Same single-scan codegen plan as
     ``violations`` — the locations are constant strings plus the span index.
-    (Annotation units for PASSING keywords are intentionally not emitted:
-    at 10^12 documents that output is larger than the input; the
-    per-partition ``partition_rollup`` is the aggregate analogue.)"""
+
+    Default emits ERROR units only: at 10^12 documents the passing-unit
+    stream is larger than the input; the per-partition ``partition_rollup``
+    is the aggregate analogue.  ``include_annotations=True`` opts into the
+    full both-polarity stream (``annotation_units``) for debugging-sized
+    slices — passing keywords appear with ``valid=true`` and a NULL
+    message, their ``observed`` value being the annotation payload."""
+    if include_annotations:
+        u = annotation_units(df, compiled, id_cols=id_cols)
+        kw = F.element_at(F.split(F.col("constraint_id"), "/"), -1)
+        where = F.when(
+            F.col("span_index").isNotNull(),
+            F.concat(F.lit(" at span "), F.col("span_index").cast("string")),
+        ).otherwise(F.lit(""))
+        return u.withColumn(
+            "message",
+            F.when(
+                ~F.col("valid"),
+                F.concat(
+                    F.lit("value '"),
+                    F.coalesce(F.col("observed"), F.lit("null")),
+                    F.lit("' violates "), kw,
+                    F.lit(" ("), F.col("constraint_id"), F.lit(")"), where,
+                ),
+            ),
+        )
     v = violations(df, compiled, id_cols=id_cols, include_locations=True)
     return with_messages(v).select(
         *id_cols,
@@ -593,6 +617,103 @@ def basic_output(df: DataFrame, compiled: CompiledSpec,
         F.col("span_index"),
         F.col("observed"),
         F.col("message"),
+    )
+
+
+def annotation_units(df: DataFrame, compiled: CompiledSpec,
+                     id_cols: Sequence[str] = ("doc_id",)) -> DataFrame:
+    """BOTH-polarity basic-output units: one row per (doc, constraint[,
+    span]) with ``valid`` true/false — the reference's full ``apply().
+    basic()`` stream including annotation units for PASSING keywords
+    (``output.rs:104-200``, unit merge algebra ``:139-164``).
+
+    OPT-IN (``basic_output(..., include_annotations=True)``): at 10^12
+    documents the passing-unit stream is larger than the input, so the
+    error-only plan stays the default; this exists for debugging-sized
+    slices.  Same single-scan narrow-posexplode shape as ``violations`` —
+    the only difference is that cells are emitted unconditionally with a
+    ``valid`` flag instead of being pre-filtered to failures, so there is
+    no cheap-row skip (every span row fans out)."""
+    root = _root(df)
+    ids = [F.col(c) for c in id_cols]
+    doc_cs = [c for c in compiled.constraints if c.scope == "doc"]
+    by_array: dict[tuple, list] = {}
+    for c in compiled.constraints:
+        if c.scope == "element":
+            by_array.setdefault(c.array_key, []).append(c)
+
+    def cell(c, ok: Column, span_index: Column, observed: Column,
+             i: Column | None = None) -> Column:
+        return F.struct(
+            F.lit(c.constraint_id).alias("constraint_id"),
+            span_index.cast("int").alias("span_index"),
+            ok.alias("valid"),
+            observed.cast("string").alias("observed"),
+            _instance_path_col(c, i).alias("instance_path"),
+            F.lit(c.schema_path).alias("keyword_location"),
+        )
+
+    def doc_cells(root_col: Column) -> list[Column]:
+        return [
+            cell(c, F.coalesce(c.pred(root_col), F.lit(True)),
+                 F.lit(None).cast("int"), c.observed(root_col))
+            for c in doc_cs
+        ]
+
+    branches: list[DataFrame] = []
+    for n, key in enumerate(by_array):
+        group = by_array[key]
+        arr = _group_array(df, key, group, root)
+        ex = df.select(
+            *ids,
+            *([root.alias("_root")] if n == 0 and doc_cs else []),
+            F.posexplode_outer(arr).alias("_pos", "_elem"),
+        )
+        x, i = F.col("_elem"), F.col("_pos")
+        cells = [
+            F.when(
+                i.isNotNull(),
+                cell(c, F.coalesce(c.pred(x, i), F.lit(True)),
+                     i, c.observed(x, i), i=i),
+            )
+            for c in group
+        ]
+        if n == 0 and doc_cs:
+            first = i.isNull() | (i == 0)
+            cells += [F.when(first, dc) for dc in doc_cells(F.col("_root"))]
+        branches.append(
+            ex.select(*ids, F.explode(F.array(*cells)).alias("v"))
+            .filter(F.col("v").isNotNull())
+        )
+    if not branches:
+        if not doc_cs:
+            return df.select(
+                *ids,
+                F.lit(None).cast("string").alias("constraint_id"),
+                F.lit(None).cast("int").alias("span_index"),
+                F.lit(None).cast("boolean").alias("valid"),
+                F.lit(None).cast("string").alias("observed"),
+                F.lit(None).cast("string").alias("instance_path"),
+                F.lit(None).cast("string").alias("keyword_location"),
+            ).limit(0)
+        branches = [
+            df.select(*ids, F.array(*doc_cells(root)).alias("_vs"))
+            .select(*[F.col(c) for c in id_cols],
+                    F.explode(F.col("_vs")).alias("v"))
+            .filter(F.col("v").isNotNull())
+        ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        *ids,
+        F.col("v.valid").alias("valid"),
+        F.col("v.keyword_location").alias("keyword_location"),
+        F.col("v.instance_path").alias("instance_path"),
+        error_kind_column(F.col("v.constraint_id")).alias("kind"),
+        F.col("v.constraint_id").alias("constraint_id"),
+        F.col("v.span_index").alias("span_index"),
+        F.col("v.observed").alias("observed"),
     )
 
 

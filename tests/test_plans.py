@@ -122,3 +122,29 @@ def test_nested_field_pruning_reaches_scan(spark, tmp_path):
     plan = _physical(_violations(df, compiled))
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "kind" in read and "media_ref" not in read and "text:" not in read, read
+
+
+def test_annotation_units_cover_both_polarities(spark, tmp_path):
+    """include_annotations=True emits one unit per (span, keyword) with a
+    valid flag; its invalid subset must equal the default error-only
+    stream (reference output.rs:104-200 both-polarity basic output)."""
+    from jsonschema_rs_spark.plans.validate import basic_output
+
+    df = _spans_parquet(spark, tmp_path)
+    spec = {"properties": {"spans": {"items": {"properties": {
+        "kind": {"enum": ["text", "image", "audio"]},
+        "offset": {"minimum": 0},
+    }}}}}
+    compiled = compile_spec(spec, df.schema)
+    both = basic_output(df, compiled, include_annotations=True)
+    n_spans = df.select(F.sum(F.size("spans"))).collect()[0][0]
+    assert both.count() == 2 * n_spans
+    key = ["doc_id", "constraint_id", "span_index", "observed"]
+    errs_only = {tuple(r) for r in basic_output(df, compiled)
+                 .select(*key).collect()}
+    from_both = {tuple(r) for r in both.filter(~F.col("valid"))
+                 .select(*key).collect()}
+    assert errs_only == from_both and errs_only
+    # passing units carry the observed annotation payload and NULL message
+    sample = both.filter(F.col("valid")).limit(5).collect()
+    assert sample and all(r["message"] is None for r in sample)
