@@ -40,15 +40,32 @@ _HOSTNAME_BODY = (
     r"([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9-]{0,61}[a-zA-Z0-9])"
 )
 _HOSTNAME_RE = rf"^{_HOSTNAME_BODY}$"
-# RFC 5321/5322 dot-atom local part (no leading/trailing/double dots) @
-# hostname or bracketed address literal (reference validates email
-# structurally, format.rs; this keeps the whole check one regex so the
-# Spark rlike and the pure-Python oracle share it verbatim)
+# RFC 5321/5322 email, parsed structurally like the reference's
+# EmailAddress-crate check (format.rs:290-315): local part is a dot-atom
+# (no leading/trailing/double dots) OR a quoted string with \-escapes
+# (so '"joe bloggs"@x.org' and '"a@b"@x.org' are valid), domain is a
+# hostname or a bracketed address literal with a REAL IPv4 / IPv6-tagged
+# body.  Length limits (local <= 64 octets, total <= 254) are Column
+# length predicates next to the regex.  One shared regex string keeps the
+# Spark rlike and the pure-Python oracle bit-identical.
 _EMAIL_LOCAL = (
     r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+"
     r"(\.[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+)*"
 )
-_EMAIL_RE = rf"^{_EMAIL_LOCAL}@({_HOSTNAME_BODY}|\[[0-9A-Fa-f.:]+\])$"
+_EMAIL_QUOTED = r'"([^"\\]|\\.)*"'
+_IPV4_BODY = r"((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+_EMAIL_LITERAL = rf"\[(IPv6:[0-9A-Fa-f:.]+|{_IPV4_BODY})\]"
+_EMAIL_RE = (rf"^({_EMAIL_LOCAL}|{_EMAIL_QUOTED})"
+             rf"@({_HOSTNAME_BODY}|{_EMAIL_LITERAL})$")
+# idn-email: the same grammar with atext / hostname label characters
+# extended to non-ASCII (U-labels stay in Unicode form; the punycoded
+# 63-octet label cap applies to A-labels and is not enforced here)
+_IDN_ATEXT = r"([A-Za-z0-9!#$%&'*+/=?^_`{|}~-]|[^\x00-\x7f])"
+_IDN_LOCAL = rf"{_IDN_ATEXT}+(\.{_IDN_ATEXT}+)*"
+_IDN_LABEL = (r"([A-Za-z0-9]|[^\x00-\x7f])"
+              r"(([A-Za-z0-9-]|[^\x00-\x7f])*([A-Za-z0-9]|[^\x00-\x7f]))?")
+_IDN_EMAIL_RE = (rf"^({_IDN_LOCAL}|{_EMAIL_QUOTED})"
+                 rf"@({_IDN_LABEL}(\.{_IDN_LABEL})*|{_EMAIL_LITERAL})$")
 _IPV4_RE = r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
 _UUID_RE = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
 # scheme : hier-part — reject whitespace and RFC 3986-excluded characters
@@ -157,6 +174,19 @@ def _idn_hostname_udf(s: pd.Series) -> pd.Series:
     return s.map(ok)
 
 
+def _email_shape(c: Column, rx: str) -> Column:
+    """Structural email check: grammar regex + RFC 5321 length limits
+    (local part 1..64, whole address <= 254).  The local part is everything
+    before the LAST '@' — a quoted local part may itself contain '@'."""
+    local_len = F.length(c) - F.length(F.substring_index(c, "@", -1)) - 1
+    return (
+        c.rlike(rx)
+        & (F.length(c) <= 254)
+        & (local_len >= 1)
+        & (local_len <= 64)
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 FORMATS: dict[str, Callable[[Column], Column]] = {
@@ -164,10 +194,9 @@ FORMATS: dict[str, Callable[[Column], Column]] = {
     "date-time": _datetime,
     "time": _time,
     "duration": lambda c: c.rlike(_DURATION_RE) & (c != F.lit("P")) & ~c.endswith("T"),
-    "email": _rx(_EMAIL_RE),
-    # idn-email allows non-ASCII local parts and U-label domains, which the
-    # strict ASCII dot-atom email regex would reject — shape-check only
-    "idn-email": _rx(r"^[^@\s]+@[^@\s]+$"),
+    "email": lambda c: _email_shape(c, _EMAIL_RE),
+    # idn-email: same structural grammar with non-ASCII atext / U-labels
+    "idn-email": lambda c: _email_shape(c, _IDN_EMAIL_RE),
     "hostname": lambda c: (F.length(c) <= 253) & c.rlike(_HOSTNAME_RE),
     "idn-hostname": lambda c: _idn_hostname_udf(c),
     "ipv4": _rx(_IPV4_RE),

@@ -344,10 +344,16 @@ def _check_format(fmt: str, v: str) -> bool:
             return False
         o = re.search(r"([Zz]|[+-]\d{2}:\d{2})$", v)
         return _leap_ok(v[0:2], v[3:5], v[6:8], o.group(1))
+    if fmt in ("email", "idn-email"):
+        # mirror the engine's structural check: shared grammar regex +
+        # RFC 5321 length limits (local 1..64, total <= 254); the local
+        # part is everything before the LAST '@'
+        rx = FM._EMAIL_RE if fmt == "email" else FM._IDN_EMAIL_RE
+        local_len = len(v) - len(v.rsplit("@", 1)[-1]) - 1
+        return (bool(re.search(rx, v)) and len(v) <= 254
+                and 1 <= local_len <= 64)
     rx = {
         "uuid": FM._UUID_RE,
-        "email": FM._EMAIL_RE,
-        "idn-email": r"^[^@\s]+@[^@\s]+$",
         "json-pointer": FM._JSON_POINTER_RE,
         "relative-json-pointer": FM._REL_JSON_POINTER_RE,
         "uri": FM._URI_RE,
