@@ -643,7 +643,7 @@ SELECT doc_id, FALSE AS valid,
        'Enum' AS kind,
        'spans/items/kind/enum' AS constraint_id, span_index,
        kind AS observed,
-       'value ''' || kind || ''' violates enum (spans/items/kind/enum)'
+       kind || ' is not one of ["text", "image", "audio"]'
            || ' at span ' || span_index AS message
 FROM spans WHERE kind NOT IN ('text', 'image', 'audio')
 UNION ALL
@@ -652,8 +652,8 @@ SELECT doc_id, FALSE,
        '/spans/' || span_index || '/text',
        'MinLength',
        'spans/items/text/minLength', span_index, text,
-       'value ''' || text || ''' violates minLength '
-           || '(spans/items/text/minLength) at span ' || span_index
+       '"' || text || '" is shorter than 4 characters'
+           || ' at span ' || span_index
 FROM spans WHERE text IS NOT NULL AND len(text) < 4
 UNION ALL
 SELECT doc_id, FALSE,
@@ -662,8 +662,8 @@ SELECT doc_id, FALSE,
        'Minimum',
        'spans/items/offset/minimum', span_index,
        CAST("offset" AS VARCHAR),
-       'value ''' || "offset" || ''' violates minimum '
-           || '(spans/items/offset/minimum) at span ' || span_index
+       "offset" || ' is less than the minimum of 0'
+           || ' at span ' || span_index
 FROM spans WHERE "offset" < 0
 UNION ALL
 SELECT doc_id, FALSE,
@@ -672,8 +672,8 @@ SELECT doc_id, FALSE,
        'MultipleOf',
        'spans/items/offset/multipleOf', span_index,
        CAST("offset" AS VARCHAR),
-       'value ''' || "offset" || ''' violates multipleOf '
-           || '(spans/items/offset/multipleOf) at span ' || span_index
+       "offset" || ' is not a multiple of 8'
+           || ' at span ' || span_index
 FROM spans WHERE "offset" % 8 <> 0
 """,
         "apply_units": SPANS_CTE_SQL + """
@@ -685,8 +685,7 @@ SELECT doc_id,
        'spans/items/kind/enum' AS constraint_id, span_index,
        spans.kind AS observed,
        CASE WHEN spans.kind IN ('text', 'image', 'audio') THEN NULL
-            ELSE 'value ''' || spans.kind
-                 || ''' violates enum (spans/items/kind/enum)'
+            ELSE spans.kind || ' is not one of ["text", "image", "audio"]'
                  || ' at span ' || span_index END AS message
 FROM spans WHERE part_key = 3
 UNION ALL
@@ -698,8 +697,7 @@ SELECT doc_id,
        'spans/items/offset/minimum', span_index,
        CAST("offset" AS VARCHAR),
        CASE WHEN "offset" >= 0 THEN NULL
-            ELSE 'value ''' || "offset"
-                 || ''' violates minimum (spans/items/offset/minimum)'
+            ELSE "offset" || ' is less than the minimum of 0'
                  || ' at span ' || span_index END
 FROM spans WHERE part_key = 3
 """,

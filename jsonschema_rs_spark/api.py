@@ -68,8 +68,11 @@ class SparkValidator:
         return verdicts(df, self.compiled, self.id_cols, strategy=strategy)
 
     def iter_errors(self, df: DataFrame) -> DataFrame:
-        """Violation rows with messages (lazy: a DataFrame, not a list)."""
-        return with_messages(violations(df, self.compiled, self.id_cols))
+        """Violation rows with reference-style per-kind messages
+        ('"zz" is shorter than 4 characters' — the phrasing of
+        ``jsonschema-py/src/lib.rs:223-261``); lazy DataFrame."""
+        return with_messages(violations(df, self.compiled, self.id_cols),
+                             self.compiled)
 
     def validate(self, df: DataFrame, sample: int = 5) -> None:
         """Raise ``ValidationError`` carrying sample violations if any doc

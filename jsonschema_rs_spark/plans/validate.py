@@ -218,13 +218,17 @@ def verdicts(df: DataFrame, compiled: CompiledSpec,
     """Per-doc-id boolean verdicts.
 
     strategy='exploded' (DEFAULT): ONE codegen scan — narrow explode, per-row
-    boolean violation flags, then a hash agg keyed by the doc id.  The agg is
-    map-side combined (partial_sum per mapper), so the shuffle carries
-    O(distinct ids) narrow rows, no second scan, no join.  The driver record
-    measured it 5.7x faster than 'prefilter' and within 2x of the raw
-    violations plan (BENCH_r02: exploded 1.06s vs prefilter 6.03s vs
-    violations 1.68s on 100k docs / 5.4M spans) — the analogue of the
-    reference's cheap ``is_valid`` mode (``validator.rs:28-89``).
+    boolean violation flags, then a hash agg keyed by the doc id.  Before
+    the agg, rows are pre-filtered to the ones that can change a verdict:
+    each doc's FIRST exploded row (pos 0 / null — the id universe; every doc
+    has one) plus VIOLATING rows, so the aggregation input is O(docs +
+    violations), not O(docs x spans) — passing pos>0 rows contribute 0 to
+    the sum and are dropped at the filter, exactly like the ``violations``
+    plan's pre-filter.  The agg is map-side combined, so the shuffle carries
+    O(distinct ids) narrow rows, no second scan, no join.  Driver record
+    BENCH_r02: exploded 1.06s vs prefilter 6.03s vs violations 1.68s on
+    100k docs / 5.4M spans — the analogue of the reference's cheap
+    ``is_valid`` mode (``validator.rs:28-89``).
 
     strategy='prefilter': verdicts derived from the ``violations`` plan —
     distinct over VIOLATING ids only, left-joined back onto the id universe.
@@ -290,7 +294,16 @@ def verdicts(df: DataFrame, compiled: CompiledSpec,
                 doc_bad = doc_bad | ~F.coalesce(
                     c.pred(F.col("_root")), F.lit(True))
             bad = bad | (first & doc_bad)
-        frames.append(ex.select(*ids, bad.alias("_bad")))
+        # agg-input pre-filter: frame 0 keeps each doc's first row (the id
+        # universe — posexplode_outer guarantees one per doc) + violating
+        # rows; later frames keep violating rows only (their ids are
+        # already covered by frame 0).  Passing pos>0 rows add 0 to the
+        # sum, so dropping them leaves verdicts exact while shrinking the
+        # aggregation input from O(docs x spans) to O(docs + violations).
+        keep = bad
+        if n == 0:
+            keep = keep | i.isNull() | (i == 0)
+        frames.append(ex.filter(keep).select(*ids, bad.alias("_bad")))
     if not frames:
         doc_bad = F.lit(False)
         for c in doc_cs:
@@ -589,25 +602,16 @@ def basic_output(df: DataFrame, compiled: CompiledSpec,
     message, their ``observed`` value being the annotation payload."""
     if include_annotations:
         u = annotation_units(df, compiled, id_cols=id_cols)
-        kw = F.element_at(F.split(F.col("constraint_id"), "/"), -1)
-        where = F.when(
-            F.col("span_index").isNotNull(),
-            F.concat(F.lit(" at span "), F.col("span_index").cast("string")),
-        ).otherwise(F.lit(""))
         return u.withColumn(
             "message",
             F.when(
                 ~F.col("valid"),
-                F.concat(
-                    F.lit("value '"),
-                    F.coalesce(F.col("observed"), F.lit("null")),
-                    F.lit("' violates "), kw,
-                    F.lit(" ("), F.col("constraint_id"), F.lit(")"), where,
-                ),
+                message_column(compiled, F.col("constraint_id"),
+                               F.col("observed"), F.col("span_index")),
             ),
         )
     v = violations(df, compiled, id_cols=id_cols, include_locations=True)
-    return with_messages(v).select(
+    return with_messages(v, compiled).select(
         *id_cols,
         F.lit(False).alias("valid"),
         F.col("keyword_location"),
@@ -717,30 +721,153 @@ def annotation_units(df: DataFrame, compiled: CompiledSpec,
     )
 
 
-def with_messages(viol_df: DataFrame) -> DataFrame:
+def _render_json(v) -> str:
+    import json
+
+    return json.dumps(v, ensure_ascii=False)
+
+
+def message_templates(compiled: CompiledSpec) -> dict:
+    """Per-constraint reference-style message templates (the phrasing of
+    ``jsonschema-py/src/lib.rs:223-261`` / python-jsonschema): constraint_id
+    -> (static, prefix, suffix), where ``static`` is a complete message and
+    otherwise the message is ``prefix + observed + suffix``.  The expected
+    keyword value is resolved by walking the compiled spec with each
+    constraint's ``schema_path`` JSON Pointer; unresolvable constraints
+    (combinator internals, claim-set keywords) keep the generic fallback."""
+    from jsonschema_rs_spark.spec import SpecError, _pointer_get
+
+    out: dict = {}
+    for c in compiled.constraints:
+        if not c.schema_path:
+            continue
+        kw = c.schema_path.rsplit("/", 1)[-1]
+        key = c.constraint_id.rsplit("/", 1)[-1]
+        try:
+            val = _pointer_get(compiled.schema, "#" + c.schema_path)
+            parent = _pointer_get(
+                compiled.schema,
+                "#" + c.schema_path.rsplit("/", 1)[0]) if "/" in (
+                    c.schema_path.lstrip("/")) else compiled.schema
+        except SpecError:
+            continue
+        r = _render_json
+        t = None
+        if kw == "minimum":
+            op = ("less than or equal to"
+                  if parent.get("exclusiveMinimum") is True else "less than")
+            t = (None, "", f" is {op} the minimum of {r(val)}")
+        elif kw == "maximum":
+            op = ("greater than or equal to"
+                  if parent.get("exclusiveMaximum") is True else
+                  "greater than")
+            t = (None, "", f" is {op} the maximum of {r(val)}")
+        elif kw == "exclusiveMinimum" and not isinstance(val, bool):
+            t = (None, "",
+                 f" is less than or equal to the exclusive minimum of {r(val)}")
+        elif kw == "exclusiveMaximum" and not isinstance(val, bool):
+            t = (None, "",
+                 f" is greater than or equal to the exclusive maximum of {r(val)}")
+        elif kw == "multipleOf":
+            t = (None, "", f" is not a multiple of {r(val)}")
+        elif kw == "minLength":
+            t = (None, '"', f'" is shorter than {val} characters')
+        elif kw == "maxLength":
+            t = (None, '"', f'" is longer than {val} characters')
+        elif kw == "pattern":
+            t = (None, '"', f'" does not match {r(val)}')
+        elif kw == "format":
+            t = (None, '"', f'" is not a {r(val)}')
+        elif kw == "enum":
+            t = (None, "", f" is not one of {r(val)}")
+        elif kw == "const":
+            t = (None, "", f" was expected to be {r(val)}")
+        elif kw == "type":
+            t = (None, "", f" is not of type {r(val)}")
+        elif kw == "required" and c.constraint_id.split("/")[-2:-1] == [
+                "required"]:
+            t = (f"{r(key)} is a required property", None, None)
+        elif kw == "minItems":
+            t = (None, "array has ",
+                 f" items, fewer than the required minimum of {val}")
+        elif kw == "maxItems":
+            t = (None, "array has ",
+                 f" items, more than the allowed maximum of {val}")
+        elif kw == "uniqueItems":
+            t = (None, "array has ", " non-unique item(s)")
+        elif kw == "minProperties":
+            t = (None, "object has ",
+                 f" properties, fewer than the required minimum of {val}")
+        elif kw == "maxProperties":
+            t = (None, "object has ",
+                 f" properties, more than the allowed maximum of {val}")
+        elif kw == "contains":
+            t = (None, "array has ",
+                 " item(s) matching 'contains'; expected at least 1")
+        elif kw == "minContains":
+            t = (None, "array has ",
+                 f" matching item(s); expected at least {val}")
+        elif kw == "maxContains":
+            t = (None, "array has ",
+                 f" matching item(s); expected at most {val}")
+        elif kw == "contentEncoding":
+            t = (None, '"', f'" is not valid {val}')
+        elif kw == "contentMediaType":
+            t = (None, '"', f'" is not valid {val}')
+        elif kw == "anyOf":
+            t = (None, "", " is not valid under any of the given schemas")
+        elif kw == "oneOf":
+            t = (None, "",
+                 " is not valid under exactly one of the given schemas")
+        elif kw == "not":
+            t = (None, "", " should not be valid under the given schema")
+        if t is not None:
+            out[c.constraint_id] = t
+    return out
+
+
+def message_column(compiled: CompiledSpec | None,
+                   cid: Column, observed: Column,
+                   span_index: Column) -> Column:
+    """The human ``message`` Column: reference-style per-kind phrasing when
+    the template resolves, else the generic ``value 'x' violates kw`` form.
+    Pure string algebra — zero impact on the validation plan itself."""
+    obs = F.coalesce(observed, F.lit("null"))
+    kw = F.element_at(F.split(cid, "/"), -1)
+    where = F.when(
+        span_index.isNotNull(),
+        F.concat(F.lit(" at span "), span_index.cast("string")),
+    ).otherwise(F.lit(""))
+    expr = F.concat(
+        F.lit("value '"), obs, F.lit("' violates "), kw,
+        F.lit(" ("), cid, F.lit(")"), where,
+    )
+    if compiled is None:
+        return expr
+    for c_id, (static, pre, suf) in message_templates(compiled).items():
+        if static is not None:
+            msg = F.concat(F.lit(static), where)
+        else:
+            msg = F.concat(F.lit(pre), obs, F.lit(suf), where)
+        expr = F.when(cid == c_id, msg).otherwise(expr)
+    return expr
+
+
+def with_messages(viol_df: DataFrame,
+                  compiled: CompiledSpec | None = None) -> DataFrame:
     """Append a human-readable ``message`` column (analogue of the
     reference's formatted ``ValidationError`` messages, ``error.rs``/
-    ``jsonschema-py/src/lib.rs:223-261``).  Pure string Column over the
+    ``jsonschema-py/src/lib.rs:223-261``).  With ``compiled``, messages use
+    the reference-style per-kind phrasing with the expected keyword value
+    ('"zz" is shorter than 4 characters'); without it, the generic
+    ``value 'x' violates kw (cid)`` form.  Pure string Column over the
     violation rows — zero impact on the validation plan itself."""
-    kw = F.element_at(F.split(F.col("constraint_id"), "/"), -1)
-    where = F.when(
-        F.col("span_index").isNotNull(),
-        F.concat(F.lit(" at span "), F.col("span_index").cast("string")),
-    ).otherwise(F.lit(""))
     return viol_df.withColumn(
         "kind", error_kind_column(F.col("constraint_id"))
     ).withColumn(
         "message",
-        F.concat(
-            F.lit("value '"),
-            F.coalesce(F.col("observed"), F.lit("null")),
-            F.lit("' violates "),
-            kw,
-            F.lit(" ("),
-            F.col("constraint_id"),
-            F.lit(")"),
-            where,
-        ),
+        message_column(compiled, F.col("constraint_id"), F.col("observed"),
+                       F.col("span_index")),
     )
 
 

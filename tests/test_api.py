@@ -18,7 +18,7 @@ def test_validate_raises_with_message(spark):
     bad = _df(spark, [{"doc_id": "d1", "spans": [
         {"kind": "zzz", "text": None, "media_ref": None, "offset": 0}],
         "part_key": 0}])
-    with pytest.raises(ValidationError, match="violates enum"):
+    with pytest.raises(ValidationError, match=r"is not one of"):
         validate(SPEC, bad)
 
 
@@ -47,3 +47,49 @@ def test_validator_surfaces(spark):
     roll = {r["part_key"]: r["pass"] for r in
             v.apply_basic(df, "part_key").collect()}
     assert roll == {0: False, 1: True}
+
+
+def test_reference_style_messages(spark):
+    """iter_errors formats per-kind messages with the expected keyword value
+    (reference jsonschema-py/src/lib.rs:223-261 phrasing)."""
+    from jsonschema_rs_spark.api import validator_for
+
+    bad = _df(spark, [{"doc_id": "zz", "spans": [
+        {"kind": "zzz", "text": "ab", "media_ref": None, "offset": -3}],
+        "part_key": 0}])
+    spec = {
+        "required": ["doc_id"],
+        "properties": {
+            "doc_id": {"minLength": 4},
+            "spans": {"items": {"properties": {
+                "kind": {"enum": ["text", "image"]},
+                "text": {"minLength": 3},
+                "offset": {"minimum": 0, "multipleOf": 8},
+            }}},
+        },
+    }
+    v = validator_for(spec, bad.schema)
+    msgs = {r["constraint_id"]: r["message"]
+            for r in v.iter_errors(bad).collect()}
+    assert msgs["doc_id/minLength"] == '"zz" is shorter than 4 characters'
+    assert msgs["spans/items/kind/enum"] == (
+        'zzz is not one of ["text", "image"] at span 0')
+    assert msgs["spans/items/text/minLength"] == (
+        '"ab" is shorter than 3 characters at span 0')
+    assert msgs["spans/items/offset/minimum"] == (
+        "-3 is less than the minimum of 0 at span 0")
+    assert msgs["spans/items/offset/multipleOf"] == (
+        "-3 is not a multiple of 8 at span 0")
+
+
+def test_required_message_is_static(spark):
+    from jsonschema_rs_spark.api import validator_for
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    sch = StructType([StructField("doc_id", StringType(), True),
+                      StructField("name", StringType(), True)])
+    bad = spark.createDataFrame([("d1", None)], sch)
+    v = validator_for({"required": ["name"]}, bad.schema)
+    rows = v.iter_errors(bad).collect()
+    assert rows[0]["message"] == '"name" is a required property'
