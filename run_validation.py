@@ -33,6 +33,10 @@ def main(argv=None) -> int:
     p.add_argument("--manifest", help="checkpoint manifest dir (resumable)")
     p.add_argument("--sketch-cols", default="",
                    help="comma list of columns to sketch into the manifest")
+    p.add_argument("--include-annotations", action="store_true",
+                   help="basic mode: emit valid=true units for PASSING "
+                        "keywords too (O(docs x spans x keywords) — "
+                        "debugging-sized slices only)")
     args = p.parse_args(argv)
     if args.mode == "resumable" and not (args.manifest and args.out):
         p.error("--mode resumable requires --manifest and --out")
@@ -75,8 +79,10 @@ def main(argv=None) -> int:
         return 0 if valid == total else 1
     elif args.mode == "basic":
         # per-error units with JSON-Pointer locations + typed kinds — the
-        # CLI analogue of the reference's error listing (main.rs:49-61)
-        out = basic_output(df, compiled, id_cols=id_cols)
+        # CLI analogue of the reference's error listing (main.rs:49-61);
+        # --include-annotations adds the passing-keyword units
+        out = basic_output(df, compiled, id_cols=id_cols,
+                           include_annotations=args.include_annotations)
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
         else:
