@@ -522,9 +522,15 @@ def _claimed_props(schema: Any) -> tuple[set, list, bool]:
     return names, pats, all_claimed
 
 
-def _claimed_positions(schema: Any) -> tuple[int, bool]:
+def _claimed_positions(schema: Any, conditionals: bool = True
+                       ) -> tuple[int, bool]:
     """Static positions 'evaluated' for unevaluatedItems: max prefixItems
-    length across in-place applicators; object-form items claims all."""
+    length across in-place applicators; object-form items claims all.
+
+    ``conditionals=False`` counts only the UNCONDITIONAL sources (the node
+    itself + allOf, which always applies) — the conditional branches
+    (if/then/else, anyOf, oneOf) are then resolved at runtime by the
+    lowerer's gated path (mirroring ``_claimed_props_cond``)."""
     n_prefix = 0
     all_claimed = False
 
@@ -543,9 +549,11 @@ def _claimed_positions(schema: Any) -> tuple[int, bool]:
                 all_claimed = True
         if isinstance(s.get("additionalItems"), (dict, bool)):
             all_claimed = True
-        for key in ("if", "then", "else"):
-            walk(s.get(key))
-        for key in ("allOf", "anyOf", "oneOf"):
+        if conditionals:
+            for key in ("if", "then", "else"):
+                walk(s.get(key))
+        for key in (("allOf", "anyOf", "oneOf") if conditionals
+                    else ("allOf",)):
             for sub in s.get(key, []) or []:
                 walk(sub)
 
@@ -1125,6 +1133,59 @@ class Lowerer:
         walk(schema, None, ())
         return out
 
+    def _claimed_items_cond(self, schema, ctx: _Ctx):
+        """Conditional claim sources for unevaluatedItems on this ARRAY
+        node: ``[(cond fn over the array instance, n_prefix, claims_all)]``
+        for if/then/else, anyOf and oneOf branches — claims count only when
+        the branch actually APPLIED (mirror of ``_claimed_props_cond`` /
+        the reference's runtime annotation tracking,
+        ``unevaluated_items.rs``).  Conditionals nested inside an applied
+        branch are counted unconditionally once the outer branch applies
+        (documented approximation)."""
+
+        def and_(a, b):
+            if a is None:
+                return b
+            if b is None:
+                return a
+            return lambda x, *i: (F.coalesce(a(x, *i), F.lit(False))
+                                  & F.coalesce(b(x, *i), F.lit(False)))
+
+        def bvalid(s, suffix):
+            return self.lower(s, _Ctx(
+                dtype=ctx.dtype, path=ctx.path + suffix, scope=ctx.scope,
+                dpath=ctx.dpath, elementable=False, array=ctx.array,
+                array_key=ctx.array_key, spointer=_sp(ctx) + suffix,
+                stageable=False, options=ctx.options)).valid
+
+        out: list = []
+
+        def add(s, cond):
+            nb, ab = _claimed_positions(s)
+            if nb or ab:
+                out.append((cond, nb, ab))
+
+        def walk(s, cond, suffix):
+            if not isinstance(s, dict):
+                return
+            if isinstance(s.get("if"), (dict, bool)):
+                cif = bvalid(s["if"], suffix + ("if",))
+                add(s["if"], and_(cond, cif))
+                if "then" in s:
+                    add(s["then"], and_(cond, cif))
+                if "else" in s:
+                    def nif(x, *i, _c=cif):
+                        return ~F.coalesce(_c(x, *i), F.lit(False))
+                    add(s["else"], and_(cond, nif))
+            for kw in ("anyOf", "oneOf"):
+                for idx, sub in enumerate(s.get(kw, []) or []):
+                    add(sub, and_(cond, bvalid(sub, suffix + (kw, str(idx)))))
+            for idx, sub in enumerate(s.get("allOf", []) or []):
+                walk(sub, cond, suffix + ("allOf", str(idx)))
+
+        walk(schema, None, ())
+        return out
+
     # ------------------------------------------------------------------
     def _lower_map(self, schema, ctx: _Ctx, out, valids, emit) -> None:
         dt: MapType = ctx.dtype
@@ -1396,17 +1457,58 @@ class Lowerer:
             self._emit_items(schema["items"], ctx, elem_dt, out, valids,
                              path_suffix=("items",), index_gate=None)
 
-        # unevaluatedItems — static resolution (reference tracks evaluated
-        # positions via runtime annotations, ``unevaluated_items.rs``): the
-        # unclaimed positions are everything past the largest static prefix,
-        # unless an object-form items/additionalItems claims all.
+        # unevaluatedItems (reference tracks evaluated positions via runtime
+        # annotations, ``unevaluated_items.rs``).  Unconditional claim
+        # sources (the node itself + allOf) resolve statically; claims from
+        # CONDITIONAL branches (if/then/else, anyOf, oneOf) gate on runtime
+        # branch validity — an element position counts as evaluated only
+        # when the branch that claims it actually applied, mirroring
+        # ``_claimed_props_cond``.  The conditional path is one node-level
+        # HOF check (rare corner; per-position attribution is kept on the
+        # common static path).
         if isinstance(schema.get("unevaluatedItems"), (dict, bool)):
-            n_prefix, all_claimed = _claimed_positions(schema)
-            if not all_claimed:
+            n_all, all_all = _claimed_positions(schema)
+            n_st, all_st = _claimed_positions(schema, conditionals=False)
+            if all_st:
+                pass  # unconditionally all claimed: nothing unevaluated
+            elif (n_all, all_all) == (n_st, all_st):
+                # no conditional sources: static per-position attribution
                 self._emit_items(
                     schema["unevaluatedItems"], ctx, elem_dt, out, valids,
                     path_suffix=("unevaluatedItems",),
-                    index_gate=("ge", n_prefix) if n_prefix else None)
+                    index_gate=("ge", n_st) if n_st else None)
+            else:
+                conds = self._claimed_items_cond(schema, ctx)
+                ue_ok = self._lower_element_valid(
+                    schema["unevaluatedItems"], elem_dt, ctx,
+                    ("unevaluatedItems",))
+
+                def _bounds(x, _conds=conds, _n=n_st):
+                    n_col = F.lit(_n)
+                    all_col = F.lit(False)
+                    for cond, nb, ab in _conds:
+                        a = F.coalesce(cond(x), F.lit(False))
+                        if ab:
+                            all_col = all_col | a
+                        elif nb:
+                            n_col = F.greatest(
+                                n_col,
+                                F.when(a, F.lit(nb)).otherwise(F.lit(0)))
+                    return n_col, all_col
+
+                def _cells(x, _ok=ue_ok):
+                    n_col, all_col = _bounds(x)
+                    return F.transform(
+                        x,
+                        lambda e, i: all_col | (i < n_col)
+                        | F.coalesce(_ok(e), F.lit(True)),
+                    )
+
+                emit(ctx.cid("unevaluatedItems"),
+                     self._lift(lambda x: F.coalesce(
+                         F.forall(_cells(x), lambda b: b), F.lit(True))),
+                     self._lift(lambda x: F.size(
+                         F.filter(_cells(x), lambda b: ~b)).cast("string")))
 
     def _lower_element_valid(self, sub, elem_dt, ctx: _Ctx, suffix) -> Callable:
         lowered = self.lower(sub, _Ctx(
@@ -1473,9 +1575,23 @@ class Lowerer:
                 )
             lowered_valid = self._lower_element_valid(sub, elem_dt, ctx,
                                                       path_suffix)
-            pred = lambda x, *i, _v=lowered_valid: F.coalesce(
-                F.forall(x, lambda e: F.coalesce(_v(e), F.lit(True))),
-                F.lit(True))
+
+            # the positional gate must survive the collapse: a prefixItems
+            # subschema inside a combinator branch applies to ITS position
+            # only, not every element (round-3 fix — the ungated forall made
+            # anyOf-of-prefixItems branches reject valid arrays)
+            def pred(x, *i, _v=lowered_valid, _gate=index_gate):
+                def body(e, j):
+                    ok = F.coalesce(_v(e), F.lit(True))
+                    if _gate is not None:
+                        kind, n = _gate
+                        gate_c = (j == n) if kind == "eq" else (j >= n)
+                        ok = ~gate_c | ok
+                    return ok
+                return F.coalesce(
+                    F.forall(F.transform(x, body), lambda b: b),
+                    F.lit(True))
+
             out.append(self._mk(ctx, ctx.cid(*path_suffix), pred,
                                 self._lift(lambda x: F.size(x).cast("string"))))
             valids.append(pred)

@@ -226,12 +226,54 @@ def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list
             if isinstance(value, list) and isinstance(sval, (dict, bool)):
                 from jsonschema_rs_spark.compiler import _claimed_positions
 
-                n_prefix, all_claimed = _claimed_positions(schema)
-                if not all_claimed:
+                n_all, all_all = _claimed_positions(schema)
+                n_st, all_st = _claimed_positions(schema,
+                                                  conditionals=False)
+                if all_st:
+                    pass
+                elif (n_all, all_all) == (n_st, all_st):
+                    # no conditional sources: static per-position path
                     for i, v in enumerate(value):
-                        if i >= n_prefix:
+                        if i >= n_st:
                             out.extend(_tag_index(_errors(
                                 sval, v, path + ("unevaluatedItems",)), i))
+                else:
+                    # conditional claims gate on runtime branch validity
+                    # (mirrors the engine's _claimed_items_cond: one
+                    # node-level check, observed = failing count)
+                    n_rt, all_rt = n_st, False
+
+                    def _apply(s):
+                        nonlocal n_rt, all_rt
+                        nb, ab = _claimed_positions(s)
+                        n_rt = max(n_rt, nb)
+                        all_rt = all_rt or ab
+
+                    def _walk(s):
+                        if not isinstance(s, dict):
+                            return
+                        if isinstance(s.get("if"), (dict, bool)):
+                            if _is_valid(s["if"], value):
+                                _apply(s["if"])
+                                if "then" in s:
+                                    _apply(s["then"])
+                            elif "else" in s:
+                                _apply(s["else"])
+                        for kw2 in ("anyOf", "oneOf"):
+                            for sub in s.get(kw2, []) or []:
+                                if _is_valid(sub, value):
+                                    _apply(sub)
+                        for sub in s.get("allOf", []) or []:
+                            _walk(sub)
+
+                    _walk(schema)
+                    if not all_rt:
+                        bad = sum(
+                            1 for i, v in enumerate(value)
+                            if i >= n_rt and not _is_valid(sval, v))
+                        if bad:
+                            out.append(
+                                (path + ("unevaluatedItems",), bad))
         elif kw == "contentEncoding":
             if sval == "base64" and isinstance(value, str):
                 # java.util.Base64 semantics (what Spark's try_to_binary
