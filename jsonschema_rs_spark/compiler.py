@@ -489,12 +489,16 @@ def _needs_python(schema: Any, options: EngineOptions) -> bool:
     return False
 
 
-def _claimed_props(schema: Any) -> tuple[set, list, bool]:
+def _claimed_props(schema: Any, conditionals: bool = True
+                   ) -> tuple[set, list, bool]:
     """Static resolution of which member names are 'evaluated' by this
     schema's in-place applicators — the compile-time replacement for the
     reference's runtime annotation tracking (``unevaluated_properties.rs:
-    41-752``).  Approximation (documented): branch applicators claim their
-    members regardless of branch outcome, and ``contains`` claims nothing.
+    41-752``).  With ``conditionals=True`` (legacy/upper-bound) branch
+    applicators claim their members regardless of branch outcome;
+    ``conditionals=False`` counts only the node itself + allOf, leaving
+    if/then/else, anyOf, oneOf and dependentSchemas to a runtime-gated
+    path.  ``contains`` claims nothing.
     Returns (names, patterns, all_claimed)."""
     names: set = set()
     pats: list = []
@@ -510,13 +514,16 @@ def _claimed_props(schema: Any) -> tuple[set, list, bool]:
             all_claimed = True
         if isinstance(s.get("unevaluatedProperties"), (dict, bool)) and s is not schema:
             all_claimed = True
-        for key in ("if", "then", "else", "not"):
-            walk(s.get(key))
-        for key in ("allOf", "anyOf", "oneOf"):
+        if conditionals:
+            for key in ("if", "then", "else", "not"):
+                walk(s.get(key))
+        for key in (("allOf", "anyOf", "oneOf") if conditionals
+                    else ("allOf",)):
             for sub in s.get(key, []) or []:
                 walk(sub)
-        for sub in (s.get("dependentSchemas") or {}).values():
-            walk(sub)
+        if conditionals:
+            for sub in (s.get("dependentSchemas") or {}).values():
+                walk(sub)
 
     walk(schema)
     return names, pats, all_claimed
@@ -1186,6 +1193,71 @@ class Lowerer:
         walk(schema, None, ())
         return out
 
+    def _claimed_map_props_cond(self, schema, ctx: _Ctx):
+        """Conditional claim sources for unevaluatedProperties on a MAP
+        node: ``[(cond fn over the map instance, names, java patterns,
+        claims_all)]`` for if/then/else, anyOf, oneOf and dependentSchemas
+        branches — claims count only when the branch APPLIED (the map-typed
+        mirror of ``_claimed_props_cond``; key matching stays Column-side
+        with isin/rlike because map keys are dynamic)."""
+
+        def and_(a, b):
+            if a is None:
+                return b
+            if b is None:
+                return a
+            return lambda x, *i: (F.coalesce(a(x, *i), F.lit(False))
+                                  & F.coalesce(b(x, *i), F.lit(False)))
+
+        def bvalid(s, suffix):
+            return self.lower(s, _Ctx(
+                dtype=ctx.dtype, path=ctx.path + suffix, scope=ctx.scope,
+                dpath=ctx.dpath, elementable=False, array=ctx.array,
+                array_key=ctx.array_key, spointer=_sp(ctx) + suffix,
+                stageable=False, options=ctx.options)).valid
+
+        out: list = []
+
+        def add(s, cond):
+            nm, ps, allc = _claimed_props(s)
+            jps = []
+            for p in ps:
+                jp = ecma_to_java(p)
+                if jp is None:
+                    raise SpecError(
+                        f"patternProperties key pattern {p!r} at {ctx.cid()} "
+                        "is not expressible in the Java regex dialect"
+                    )
+                jps.append(jp)
+            if nm or jps or allc:
+                out.append((cond, tuple(nm), tuple(jps), allc))
+
+        def walk(s, cond, suffix):
+            if not isinstance(s, dict):
+                return
+            if isinstance(s.get("if"), (dict, bool)):
+                cif = bvalid(s["if"], suffix + ("if",))
+                add(s["if"], and_(cond, cif))
+                if "then" in s:
+                    add(s["then"], and_(cond, cif))
+                if "else" in s:
+                    def nif(x, *i, _c=cif):
+                        return ~F.coalesce(_c(x, *i), F.lit(False))
+                    add(s["else"], and_(cond, nif))
+            for kw in ("anyOf", "oneOf"):
+                for idx, sub in enumerate(s.get(kw, []) or []):
+                    add(sub, and_(cond, bvalid(sub, suffix + (kw, str(idx)))))
+            for k, sub in (s.get("dependentSchemas") or {}).items():
+                def present(x, *i, _k=k):
+                    return F.map_contains_key(x, F.lit(_k))
+                bsuf = suffix + ("dependentSchemas", k)
+                add(sub, and_(cond, and_(present, bvalid(sub, bsuf))))
+            for idx, sub in enumerate(s.get("allOf", []) or []):
+                walk(sub, cond, suffix + ("allOf", str(idx)))
+
+        walk(schema, None, ())
+        return out
+
     # ------------------------------------------------------------------
     def _lower_map(self, schema, ctx: _Ctx, out, valids, emit) -> None:
         dt: MapType = ctx.dtype
@@ -1322,15 +1394,23 @@ class Lowerer:
         # unevaluatedProperties on a map lowers the same way but with the
         # claim-set resolved statically across in-place applicators.
         ap_kw = None
+        map_conds: list = []
         if "additionalProperties" in schema:
             ap_kw = "additionalProperties"
             named = tuple(schema.get("properties", {}))
             pats = tuple(p for p, _ in pat_pairs)
         elif isinstance(schema.get("unevaluatedProperties"), (dict, bool)):
             ap_kw = "unevaluatedProperties"
-            c_names, c_pats, all_claimed = _claimed_props(schema)
-            if all_claimed:
-                ap_kw = None
+            a_names, a_pats, all_all = _claimed_props(schema)
+            c_names, c_pats, all_st = _claimed_props(schema,
+                                                     conditionals=False)
+            if all_st:
+                ap_kw = None  # unconditionally all claimed
+            elif (set(a_names), sorted(a_pats), all_all) != (
+                    set(c_names), sorted(c_pats), all_st):
+                # conditional claim sources: gate them at runtime (round-3;
+                # was static union across branches)
+                map_conds = self._claimed_map_props_cond(schema, ctx)
             named = tuple(c_names)
             pats = []
             for p in c_pats:
@@ -1345,19 +1425,28 @@ class Lowerer:
         if ap_kw is not None:
             ap = schema[ap_kw]
 
-            def claimed(k: Column) -> Column:
+            def claimed(x: Column, k: Column) -> Column:
                 c = F.lit(False)
                 if named:
                     c = c | k.isin(*named)
                 for p in pats:
                     c = c | k.rlike(p)
+                for cond, nm_j, ps_j, all_j in map_conds:
+                    a = F.coalesce(cond(x), F.lit(False))
+                    cj = F.lit(all_j)
+                    if nm_j:
+                        cj = cj | k.isin(*nm_j)
+                    for p in ps_j:
+                        cj = cj | k.rlike(p)
+                    c = c | (a & cj)
                 return c
 
             if ap is False:
                 emit(ctx.cid(ap_kw),
-                     self._lift(lambda x: F.forall(key_of(x), claimed)),
+                     self._lift(lambda x: F.forall(
+                         key_of(x), lambda k: claimed(x, k))),
                      self._lift(lambda x: F.to_json(
-                         F.filter(key_of(x), lambda k: ~claimed(k)))))
+                         F.filter(key_of(x), lambda k: ~claimed(x, k)))))
             elif isinstance(ap, dict) and ap:
                 lowered = self.lower(
                     ap, _Ctx(dtype=dt.valueType,
@@ -1369,7 +1458,7 @@ class Lowerer:
                 emit(ctx.cid(ap_kw),
                      self._lift(lambda x, _v=lowered.valid: F.forall(
                          F.map_entries(x),
-                         lambda e: claimed(e.getField("key"))
+                         lambda e: claimed(x, e.getField("key"))
                          | _v(e.getField("value")))),
                      self._lift(obs))
 

@@ -385,3 +385,56 @@ def test_nested_id_resource_anchor_not_leaked_into_parent_scope():
     }
     with pytest.raises(SpecError, match="unresolvable"):
         resolve_refs(root)
+
+
+def test_map_unevaluated_properties_conditional_claims(spark):
+    """Map-typed unevaluatedProperties: claims from anyOf branches count
+    only when the branch VALIDATES (round 3 — was a static union across
+    branches, so a failing branch wrongly claimed its members)."""
+    from pyspark.sql import functions as F
+    from jsonschema_rs_spark.plans.validate import validation_frame
+
+    rows = [
+        ("m1", {"a": 1}),            # branch1 valid, claims a -> valid
+        ("m2", {"a": 1, "b": 2}),    # both branches valid -> valid
+        ("m3", {"a": 1, "c": 3}),    # c never claimed -> invalid
+        ("m4", {"a": -5, "b": 2}),   # branch1 FAILS (a<0): only b claimed,
+                                     # 'a' is unevaluated -> invalid
+                                     # (static union would claim a: valid)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, props map<string,int>")
+    spec = {"properties": {"props": {
+        "anyOf": [
+            {"required": ["a"], "properties": {"a": {"minimum": 0}}},
+            {"required": ["b"], "properties": {"b": {"minimum": 0}}},
+        ],
+        "unevaluatedProperties": False,
+    }}}
+    c = compile_spec(spec, df.schema)
+    got = {r["doc_id"]: r["valid"]
+           for r in validation_frame(df, c, mode="verdicts").collect()}
+    assert got == {"m1": True, "m2": True, "m3": False, "m4": False}, got
+
+    # py-oracle agreement on the same cases
+    from .py_oracle import validate_doc
+    for doc_id, props in rows:
+        ok, _ = validate_doc(spec, {"doc_id": doc_id, "props": props})
+        assert ok == got[doc_id], (doc_id, ok, got[doc_id])
+
+
+def test_map_unevaluated_props_static_when_no_branches(spark):
+    """No conditional sources: the claim-set stays a static Column check
+    (no behavior change for the common shape)."""
+    from jsonschema_rs_spark.plans.validate import validation_frame
+
+    df = spark.createDataFrame(
+        [("s1", {"a": 1}), ("s2", {"a": 1, "z": 9})],
+        "doc_id string, props map<string,int>")
+    spec = {"properties": {"props": {
+        "properties": {"a": {"minimum": 0}},
+        "unevaluatedProperties": False,
+    }}}
+    c = compile_spec(spec, df.schema)
+    got = {r["doc_id"]: r["valid"]
+           for r in validation_frame(df, c, mode="verdicts").collect()}
+    assert got == {"s1": True, "s2": False}
