@@ -68,13 +68,33 @@ _array_kws = st.sampled_from([
     {"contains": {"properties": {"kind": {"const": "image"}}}},
 ])
 
-_schema = st.builds(
-    lambda item, arr, combin: {"properties": {"spans": {
-        **arr,
-        "items": ({"anyOf": [item, {"properties": {
-            "kind": {"const": "audio"}}}]} if combin else item),
-    }}},
-    _item_schema(), _array_kws, st.booleans(),
+# array-level schemas exercising CONDITIONAL unevaluatedItems claims
+# (no object-form `items` — that would claim everything statically)
+_uneval_arrays = st.sampled_from([
+    {"if": {"minItems": 2}, "then": {"prefixItems": [True, True]},
+     "unevaluatedItems": {"properties": {"kind": {"const": "text"}}}},
+    {"if": {"minItems": 3}, "then": {"prefixItems": [True, True, True]},
+     "else": {"prefixItems": [True]},
+     "unevaluatedItems": {"properties": {"offset": {"minimum": 0}}}},
+    {"anyOf": [
+        {"prefixItems": [{"properties": {"kind": {"const": "image"}}}, True]},
+        {"prefixItems": [{"properties": {"kind": {"const": "text"}}}]}],
+     "unevaluatedItems": False},
+    {"prefixItems": [True],
+     "unevaluatedItems": {"properties": {"text": {"minLength": 3}}}},
+])
+
+_schema = st.one_of(
+    st.builds(
+        lambda item, arr, combin: {"properties": {"spans": {
+            **arr,
+            "items": ({"anyOf": [item, {"properties": {
+                "kind": {"const": "audio"}}}]} if combin else item),
+        }}},
+        _item_schema(), _array_kws, st.booleans(),
+    ),
+    st.builds(lambda arr: {"properties": {"spans": dict(arr)}},
+              _uneval_arrays),
 )
 
 _docs = st.lists(_spans, min_size=1, max_size=6)
