@@ -116,3 +116,29 @@ def windowed_verdict_counts(
         )
         .withColumn("pass_rate", F.col("valid_docs") / F.col("docs"))
     )
+
+
+def stream_referential_violations(
+    stream: DataFrame,
+    catalog: DataFrame,
+    fk_col: str,
+    pk_col: str,
+    id_cols=("doc_id",),
+) -> DataFrame:
+    """Streaming referential integrity: rows whose ``fk_col`` (e.g. a span's
+    ``media_ref``) has no match in a STATIC catalog dimension.
+
+    Stream-static left joins are stateless in Structured Streaming — the
+    static side is re-broadcast per micro-batch, so no join state
+    accumulates and the catalog can be refreshed between restarts.  The
+    catalog is projected to its key and broadcast explicitly (same plan the
+    batch ``referential_violations`` uses: the fact side never shuffles).
+    NULL fks (non-media rows) pass vacuously, like the batch operator."""
+    keys = F.broadcast(
+        catalog.select(F.col(pk_col).alias("_pk")).distinct())
+    joined = stream.join(
+        keys, stream[fk_col] == F.col("_pk"), "left")
+    return (
+        joined.filter(F.col(fk_col).isNotNull() & F.col("_pk").isNull())
+        .select(*id_cols, F.col(fk_col).alias("dangling_ref"))
+    )

@@ -83,3 +83,37 @@ def test_windowed_chi2_drift_flags_shifted_window(spark, tmp_path):
     ok_windows = [m for m in res if m < 4]
     assert all(not res[m]["drifted"] for m in ok_windows)
     assert all(r["n_other"] == 0 for r in res.values())
+
+
+def test_stream_referential_integrity(spark, tmp_path):
+    """Stream-static anti-join flags dangling media_refs per micro-batch,
+    with no accumulating join state (static side broadcast each batch)."""
+    from jsonschema_rs_spark.sources.spans import flat_spans
+    from jsonschema_rs_spark.streaming.validate_stream import (
+        stream_referential_violations,
+    )
+
+    src = str(tmp_path / "src")
+    flat = flat_spans(spark, SF).filter(F.col("media_ref").isNotNull())
+    flat.limit(500).write.mode("overwrite").parquet(src)
+    # catalog: every ref except the ones ending in '7' (planted dangling)
+    catalog = (spark.read.parquet(src)
+               .select(F.col("media_ref").alias("media_id")).distinct()
+               .filter(~F.col("media_id").endswith("7")))
+    stream = stream_spans(spark, src, spark.read.parquet(src).schema)
+    out = stream_referential_violations(
+        stream, catalog, "media_ref", "media_id",
+        id_cols=("doc_id", "span_index"))
+    q = (out.writeStream.format("memory").queryName("ref_viol")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from ref_viol").collect()
+    finally:
+        q.stop()
+    want = {(r["doc_id"], r["span_index"]) for r in
+            spark.read.parquet(src)
+            .filter(F.col("media_ref").endswith("7"))
+            .select("doc_id", "span_index").collect()}
+    assert {(r["doc_id"], r["span_index"]) for r in got} == want
+    assert all(r["dangling_ref"].endswith("7") for r in got)
