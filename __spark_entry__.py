@@ -54,9 +54,8 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents with deterministic planted duplicates (for dedup ops).
 
-    Repartitioned to the session's parallelism: the small single-file
-    parquet otherwise yields 1-2 input splits, starving every core (real
-    100-TB inputs arrive pre-split)."""
+    Split-gated repartition (``_ensure_splits``): widened only when the
+    input arrives under-split, never full-shuffled on ingest."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     dup = d.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
@@ -210,6 +209,47 @@ def q_kw_map_deps(spark, sf_dir):
         "minProperties": 1,
     }}}
     return violations(ev, compile_spec(spec, ev.schema), id_cols=("event_id",))
+
+
+def q_kw_uneval_map(spark, sf_dir):
+    """Map-typed unevaluatedProperties with CONDITIONAL claims (round 3):
+    anyOf branches claim their members only when the branch validates, so a
+    failing branch's members surface as unevaluated."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.when(F.col("event_id") % 4 == 0,
+               F.create_map(F.lit("a"), F.lit(1)))
+        .when(F.col("event_id") % 4 == 1,
+              F.create_map(F.lit("a"), F.lit(-5), F.lit("b"), F.lit(2)))
+        .when(F.col("event_id") % 4 == 2,
+              F.create_map(F.lit("a"), F.lit(1), F.lit("c"), F.lit(3)))
+        .otherwise(F.create_map(F.lit("b"), F.lit(2)))
+        .alias("props3"),
+    )
+    spec = {"properties": {"props3": {
+        "anyOf": [
+            {"required": ["a"], "properties": {"a": {"minimum": 0}}},
+            {"required": ["b"], "properties": {"b": {"minimum": 0}}},
+        ],
+        "unevaluatedProperties": False,
+    }}}
+    return violations(ev, compile_spec(spec, ev.schema), id_cols=("event_id",))
+
+
+def q_kw_uneval_items(spark, sf_dir):
+    """unevaluatedItems with CONDITIONAL if/then/else prefix claims
+    (round 3): the claimed prefix length depends on the runtime span count
+    (>= 30 spans claims 30, otherwise 5); unevaluated spans must be kind
+    'text'. One node-level violation row per doc, observed = failing
+    count."""
+    df = derive_spans(spark, sf_dir)
+    spec = _span_spec({
+        "if": {"minItems": 30},
+        "then": {"prefixItems": [True] * 30},
+        "else": {"prefixItems": [True] * 5},
+        "unevaluatedItems": {"properties": {"kind": {"const": "text"}}},
+    })
+    return violations(df, compile_spec(spec, df.schema))
 
 
 def q_apply_basic(spark, sf_dir):
@@ -450,6 +490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_logic": q_kw_logic,
         "kw_bounds": q_kw_bounds,
         "kw_map_deps": q_kw_map_deps,
+        "kw_uneval_map": q_kw_uneval_map,
+        "kw_uneval_items": q_kw_uneval_items,
         "apply_basic": q_apply_basic,
         "apply_units": q_apply_units,
         "ds_stats_bounds": q_ds_stats_bounds,
@@ -675,6 +717,32 @@ SELECT doc_id, FALSE,
        "offset" || ' is not a multiple of 8'
            || ' at span ' || span_index
 FROM spans WHERE "offset" % 8 <> 0
+""",
+        "kw_uneval_map": """
+SELECT event_id, 'props3/unevaluatedProperties' AS constraint_id,
+       CAST(NULL AS INTEGER) AS span_index,
+       '["a"]' AS observed
+FROM events WHERE event_id % 4 = 1
+UNION ALL
+SELECT event_id, 'props3/unevaluatedProperties', CAST(NULL AS INTEGER),
+       '["c"]'
+FROM events WHERE event_id % 4 = 2
+""",
+        "kw_uneval_items": SPANS_CTE_SQL + """
+SELECT doc_id,
+       'spans/unevaluatedItems' AS constraint_id,
+       CAST(NULL AS INTEGER) AS span_index,
+       CAST(bad AS VARCHAR) AS observed
+FROM (
+    SELECT doc_id,
+           sum(CASE WHEN span_index >=
+                        (CASE WHEN cnt >= 30 THEN 30 ELSE 5 END)
+                     AND kind <> 'text' THEN 1 ELSE 0 END) AS bad
+    FROM (SELECT s.*, count(*) OVER (PARTITION BY doc_id) AS cnt
+          FROM spans s) t
+    GROUP BY doc_id
+) agg
+WHERE bad > 0
 """,
         "apply_units": SPANS_CTE_SQL + """
 SELECT doc_id,
