@@ -252,6 +252,43 @@ def q_kw_uneval_items(spark, sf_dir):
     return violations(df, compile_spec(spec, df.schema))
 
 
+def q_ds_psi_drift(spark, sf_dir):
+    """Population Stability Index of events.value vs a uniform 10-bin
+    reference over [0, 100) — the standard ML-pipeline drift gate
+    (round 3; complements chi2/KS)."""
+    ev = _events(spark, sf_dir)
+    return DS.psi_drift(ev, "value", ref_shares=[0.1] * 10,
+                        bounds=(0.0, 100.0), threshold=0.2)
+
+
+def _psi_oracle_sql() -> str:
+    n, lo, width, eps, thr = 10, 0.0, 10.0, 1e-4, 0.2
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS n{i}"
+        for i in range(n))
+    terms = " + ".join(
+        f"((greatest(n{i} / tot, {eps}) - 0.1)"
+        f" * ln(greatest(n{i} / tot, {eps}) / 0.1))"
+        for i in range(n))
+    return f"""
+WITH binned AS (
+    SELECT least(greatest(CAST(floor((value - {lo}) / {width}) AS BIGINT),
+                          0), {n - 1}) AS b
+    FROM events WHERE value IS NOT NULL
+), agg AS (
+    SELECT count(*) AS n_rows,
+           {sums}
+    FROM binned
+), shares AS (
+    SELECT n_rows, CAST(n_rows AS DOUBLE) AS tot, * FROM agg
+)
+SELECT n_rows,
+       round({terms}, 6) AS psi,
+       ({terms}) > {thr} AS drifted
+FROM shares
+"""
+
+
 def q_apply_basic(spark, sf_dir):
     """Basic-output error units with JSON-Pointer locations + typed kinds
     (reference apply().basic(), output.rs:104-200; VERDICT r01 #6)."""
@@ -492,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_map_deps": q_kw_map_deps,
         "kw_uneval_map": q_kw_uneval_map,
         "kw_uneval_items": q_kw_uneval_items,
+        "ds_psi_drift": q_ds_psi_drift,
         "apply_basic": q_apply_basic,
         "apply_units": q_apply_units,
         "ds_stats_bounds": q_ds_stats_bounds,
@@ -718,6 +756,7 @@ SELECT doc_id, FALSE,
            || ' at span ' || span_index
 FROM spans WHERE "offset" % 8 <> 0
 """,
+        "ds_psi_drift": _psi_oracle_sql(),
         "kw_uneval_map": """
 SELECT event_id, 'props3/unevaluatedProperties' AS constraint_id,
        CAST(NULL AS INTEGER) AS span_index,

@@ -292,6 +292,51 @@ def ks_drift(
 # skew handling
 # --------------------------------------------------------------------------
 
+def psi_drift(
+    df: DataFrame,
+    num_col: str,
+    ref_shares: Sequence[float],
+    bounds: tuple[float, float],
+    threshold: float = 0.2,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index of ``num_col`` vs a REFERENCE binned
+    distribution (the standard training-pipeline drift gate: PSI < 0.1
+    stable, 0.1-0.2 moderate, > threshold drifted).
+
+    ``ref_shares`` are the expected shares of ``len(ref_shares)`` equi-width
+    bins over ``bounds=(lo, hi)`` — both come from the spec / a prior
+    profiling run, so the statistic is ONE scan + ONE 1-row aggregate
+    (conditional sums per bin, map-side combined; same shape as
+    ``chi_square_drift``).  Out-of-range values clamp into the edge bins;
+    observed shares are floored at ``eps`` so empty bins stay finite.
+    Returns one row: (n_rows, psi, drifted).
+    """
+    n = len(ref_shares)
+    lo, hi = float(bounds[0]), float(bounds[1])
+    width = (hi - lo) / n
+    b = F.least(
+        F.greatest(F.floor((F.col(num_col) - F.lit(lo)) / F.lit(width)),
+                   F.lit(0)),
+        F.lit(n - 1),
+    )
+    agg = df.filter(F.col(num_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum((b == i).cast("long")).alias(f"_n{i}") for i in range(n)],
+    )
+    total = F.col("n_rows").cast("double")
+    psi = F.lit(0.0)
+    for i, r in enumerate(ref_shares):
+        p = F.greatest(F.col(f"_n{i}").cast("double") / total, F.lit(eps))
+        rr = max(float(r), eps)
+        psi = psi + (p - F.lit(rr)) * F.log(p / F.lit(rr))
+    return agg.select(
+        "n_rows",
+        F.round(psi, 6).alias("psi"),
+        (psi > threshold).alias("drifted"),
+    )
+
+
 def salted_repartition(df: DataFrame, key_col: str, salt_buckets: int = 32,
                        num_partitions: int | None = None) -> DataFrame:
     """Explicit salting for hot keys (north rule): append a deterministic

@@ -139,3 +139,24 @@ def test_salted_repartition_spreads_hot_key(spark):
     # hot key alone is ~1000 rows; with salting no physical partition should
     # hold the whole hot key
     assert max(counts) < 700
+
+
+def test_psi_flags_planted_shift(spark):
+    """PSI near 0 for a matching distribution; large for a shifted one."""
+    from pyspark.sql import functions as F
+    from jsonschema_rs_spark.operators.dataset import psi_drift
+
+    base = spark.range(0, 10_000).select(
+        ((F.col("id") % 100) + 0.5).alias("v"))  # uniform over [0,100)
+    row = psi_drift(base, "v", [0.1] * 10, (0.0, 100.0)).collect()[0]
+    assert row["psi"] < 0.01 and not row["drifted"], row
+
+    shifted = spark.range(0, 10_000).select(
+        ((F.col("id") % 50) + 0.5).alias("v"))   # mass only in [0,50)
+    row = psi_drift(shifted, "v", [0.1] * 10, (0.0, 100.0)).collect()[0]
+    assert row["psi"] > 0.2 and row["drifted"], row
+
+    # single scan, single 1-row agg: no more than one exchange
+    plan = psi_drift(base, "v", [0.1] * 10, (0.0, 100.0)
+                     )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
