@@ -252,6 +252,18 @@ def q_kw_uneval_items(spark, sf_dir):
     return violations(df, compile_spec(spec, df.schema))
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster resolution: connected components (min-label
+    propagation) over a deterministic chain edge list — pairs from the
+    pair-emitting dedup ops chain transitively; the component minimum is
+    the canonical keeper (round 3)."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    edges = d.filter(F.col("doc_id") % 10 < 3).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"))
+    return DD.connected_components_min(edges)
+
+
 def q_ds_psi_drift(spark, sf_dir):
     """Population Stability Index of events.value vs a uniform 10-bin
     reference over [0, 100) — the standard ML-pipeline drift gate
@@ -530,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_uneval_map": q_kw_uneval_map,
         "kw_uneval_items": q_kw_uneval_items,
         "ds_psi_drift": q_ds_psi_drift,
+        "dedup_components": q_dedup_components,
         "apply_basic": q_apply_basic,
         "apply_units": q_apply_units,
         "ds_stats_bounds": q_ds_stats_bounds,
@@ -757,6 +770,19 @@ SELECT doc_id, FALSE,
 FROM spans WHERE "offset" % 8 <> 0
 """,
         "ds_psi_drift": _psi_oracle_sql(),
+        "dedup_components": """
+WITH RECURSIVE e AS (
+    SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 < 3
+),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+v AS (SELECT DISTINCT a AS id FROM sym),
+reach(id, r) AS (
+    SELECT id, id FROM v
+    UNION
+    SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+)
+SELECT id, min(r) AS rep FROM reach GROUP BY id
+""",
         "kw_uneval_map": """
 SELECT event_id, 'props3/unevaluatedProperties' AS constraint_id,
        CAST(NULL AS INTEGER) AS span_index,

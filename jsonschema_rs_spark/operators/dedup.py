@@ -354,3 +354,56 @@ def simhash_buckets(df: DataFrame, id_col: str, text_col: str,
         "id", "simhash", F.explode(F.array(*bands)).alias("bb")
     ).select("id", "simhash", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
+
+
+# --------------------------------------------------------------------------
+# duplicate-cluster resolution
+# --------------------------------------------------------------------------
+
+def connected_components_min(pairs: DataFrame, id_a: str = "id_a",
+                             id_b: str = "id_b",
+                             max_iter: int = 20) -> DataFrame:
+    """Resolve duplicate PAIRS into clusters: ``(id, rep)`` where ``rep`` is
+    the minimum id in each connected component — the canonical keeper for a
+    dedup pass (pairs from ``minhash_lsh_pairs`` / ``ngram_jaccard_pairs`` /
+    ``near_duplicates_cosine`` chain transitively; keeping one doc per PAIR
+    over-deletes).
+
+    Min-label propagation: each iteration joins the symmetric edge list
+    against current labels and takes the per-vertex minimum — converging in
+    O(component diameter) iterations (near-dup clusters are shallow; the
+    default bound is generous).  Each iteration materializes via
+    ``localCheckpoint`` to cut lineage — on a production cluster point
+    ``spark.sparkContext.setCheckpointDir`` at durable storage and swap in
+    ``checkpoint()`` for executor-loss resilience.  Shuffle volume per
+    iteration is O(edges) narrow (id, rep) rows.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("rep", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), F.col("rep"))
+        )
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("rep").alias("rep"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n").join(labels.alias("o"), "id")
+            .filter(F.col("n.rep") < F.col("o.rep"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -228,3 +228,16 @@ def test_near_dup_shuffle_carries_no_vectors(spark):
         if "Exchange hashpartitioning" in line:
             assert "embedding" not in line, line
     assert "partial_max(cos" in plan, plan
+
+
+def test_connected_components_chains_converge(spark):
+    """Min-label propagation resolves multi-hop chains (pairs only connect
+    neighbors; the min must travel the full chain length)."""
+    edges = spark.createDataFrame(
+        # two chains: 0-1-2-3-4 and 10-11-12; plus a 2-cycle 20-21
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)],
+        "id_a bigint, id_b bigint")
+    got = {r["id"]: r["rep"]
+           for r in DD.connected_components_min(edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}, got
