@@ -264,6 +264,34 @@ def q_dedup_components(spark, sf_dir):
     return DD.connected_components_min(edges)
 
 
+def q_ds_hash_split(spark, sf_dir):
+    """Deterministic md5-bucketed train/val/test splitting (round 3):
+    assignment is a pure function of the id — stable across reruns and
+    partitionings, reproducible outside Spark."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    return DS.hash_split(d, "doc_id",
+                         {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+def _hash_split_oracle_sql() -> str:
+    # thresholds must accumulate EXACTLY like the engine's float loop
+    # (0.8 + 0.1 = 0.9000000000000001 in IEEE doubles)
+    t_train = 0.8 / 1.0
+    t_val = t_train + 0.1 / 1.0
+    return f"""
+SELECT doc_id,
+       CASE WHEN u < {t_train!r} THEN 'train'
+            WHEN u < {t_val!r} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'),
+                                1, 12)) AS BIGINT)
+               / CAST(power(16, 12) AS DOUBLE) AS u
+    FROM documents)
+"""
+
+
 def q_ds_psi_drift(spark, sf_dir):
     """Population Stability Index of events.value vs a uniform 10-bin
     reference over [0, 100) — the standard ML-pipeline drift gate
@@ -542,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_uneval_map": q_kw_uneval_map,
         "kw_uneval_items": q_kw_uneval_items,
         "ds_psi_drift": q_ds_psi_drift,
+        "ds_hash_split": q_ds_hash_split,
         "dedup_components": q_dedup_components,
         "apply_basic": q_apply_basic,
         "apply_units": q_apply_units,
@@ -770,6 +799,7 @@ SELECT doc_id, FALSE,
 FROM spans WHERE "offset" % 8 <> 0
 """,
         "ds_psi_drift": _psi_oracle_sql(),
+        "ds_hash_split": _hash_split_oracle_sql(),
         "dedup_components": """
 WITH RECURSIVE e AS (
     SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 < 3

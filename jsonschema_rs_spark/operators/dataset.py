@@ -353,3 +353,34 @@ def salted_repartition(df: DataFrame, key_col: str, salt_buckets: int = 32,
     else:
         out = salted.repartition(F.col(key_col), F.col("_salt"))
     return out.drop("_salt")
+
+
+def hash_split(df: DataFrame, id_col: str,
+               weights: dict[str, float],
+               salt: str = "split-v1") -> DataFrame:
+    """Deterministic train/val/test splitting: adds a ``split`` column
+    assigned by md5(id + salt) bucketed into the cumulative weight ranges.
+
+    Unlike ``randomSplit`` the assignment is a PURE function of the id —
+    stable across reruns, executors, partitionings and Spark versions, so a
+    resumed or re-derived 100-TB pipeline never leaks rows between splits.
+    md5 (not xxhash64) keeps the assignment reproducible outside Spark
+    (DuckDB oracle, offline audits).  One projection, no shuffle.
+    """
+    total = float(sum(weights.values()))
+    # uniform in [0, 1): first 12 hex chars of md5(id||salt) / 16^12
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"),
+                                   F.lit(salt))), 1, 12),
+        16, 10).cast("double") / F.lit(float(16 ** 12))
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = h < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

@@ -160,3 +160,24 @@ def test_psi_flags_planted_shift(spark):
     plan = psi_drift(base, "v", [0.1] * 10, (0.0, 100.0)
                      )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from jsonschema_rs_spark.operators.dataset import hash_split
+
+    df = spark.range(0, 20_000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(df, "doc_id", w)
+    counts = {r["split"]: r["count"]
+              for r in a.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+    # pure function of the id: a second evaluation agrees row-for-row
+    b = hash_split(df, "doc_id", w)
+    diff = (a.alias("a").join(b.alias("b"), "doc_id")
+            .filter("a.split <> b.split").count())
+    assert diff == 0
+    # no shuffle: one projection
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
