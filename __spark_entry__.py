@@ -323,8 +323,8 @@ WITH binned AS (
     SELECT n_rows, CAST(n_rows AS DOUBLE) AS tot, * FROM agg
 )
 SELECT n_rows,
-       round({terms}, 6) AS psi,
-       ({terms}) > {thr} AS drifted
+       CASE WHEN n_rows > 0 THEN round({terms}, 6) END AS psi,
+       (n_rows > 0 AND ({terms}) > {thr}) AS drifted
 FROM shares
 """
 

@@ -1140,15 +1140,17 @@ class Lowerer:
         walk(schema, None, ())
         return out
 
-    def _claimed_items_cond(self, schema, ctx: _Ctx):
-        """Conditional claim sources for unevaluatedItems on this ARRAY
-        node: ``[(cond fn over the array instance, n_prefix, claims_all)]``
-        for if/then/else, anyOf and oneOf branches — claims count only when
-        the branch actually APPLIED (mirror of ``_claimed_props_cond`` /
-        the reference's runtime annotation tracking,
-        ``unevaluated_items.rs``).  Conditionals nested inside an applied
-        branch are counted unconditionally once the outer branch applies
-        (documented approximation)."""
+    def _walk_branch_claims(self, schema, ctx: _Ctx, add,
+                            dependent_schemas: bool = False) -> None:
+        """Shared conditional-branch walker for runtime-gated claim
+        resolution (unevaluatedItems / map unevaluatedProperties — the
+        struct path has its own richer variant in ``_claimed_props_cond``):
+        calls ``add(branch_schema, cond_fn)`` for if/then/else, anyOf and
+        oneOf branches (and dependentSchemas when enabled, additionally
+        gated on key presence), recursing through allOf.  Conds compose
+        the branch's lowered validity over the NODE instance; conditionals
+        nested inside an applied branch are counted unconditionally once
+        the outer branch applies (documented approximation)."""
 
         def and_(a, b):
             if a is None:
@@ -1164,13 +1166,6 @@ class Lowerer:
                 dpath=ctx.dpath, elementable=False, array=ctx.array,
                 array_key=ctx.array_key, spointer=_sp(ctx) + suffix,
                 stageable=False, options=ctx.options)).valid
-
-        out: list = []
-
-        def add(s, cond):
-            nb, ab = _claimed_positions(s)
-            if nb or ab:
-                out.append((cond, nb, ab))
 
         def walk(s, cond, suffix):
             if not isinstance(s, dict):
@@ -1187,35 +1182,39 @@ class Lowerer:
             for kw in ("anyOf", "oneOf"):
                 for idx, sub in enumerate(s.get(kw, []) or []):
                     add(sub, and_(cond, bvalid(sub, suffix + (kw, str(idx)))))
+            if dependent_schemas:
+                for k, sub in (s.get("dependentSchemas") or {}).items():
+                    def present(x, *i, _k=k):
+                        return F.map_contains_key(x, F.lit(_k))
+                    bsuf = suffix + ("dependentSchemas", k)
+                    add(sub, and_(cond, and_(present, bvalid(sub, bsuf))))
             for idx, sub in enumerate(s.get("allOf", []) or []):
                 walk(sub, cond, suffix + ("allOf", str(idx)))
 
         walk(schema, None, ())
+
+    def _claimed_items_cond(self, schema, ctx: _Ctx):
+        """Conditional claim sources for unevaluatedItems on this ARRAY
+        node: ``[(cond fn over the array instance, n_prefix, claims_all)]``
+        — claims count only when the branch actually APPLIED (mirror of
+        ``_claimed_props_cond`` / the reference's runtime annotation
+        tracking, ``unevaluated_items.rs``)."""
+        out: list = []
+
+        def add(s, cond):
+            nb, ab = _claimed_positions(s)
+            if nb or ab:
+                out.append((cond, nb, ab))
+
+        self._walk_branch_claims(schema, ctx, add)
         return out
 
     def _claimed_map_props_cond(self, schema, ctx: _Ctx):
         """Conditional claim sources for unevaluatedProperties on a MAP
         node: ``[(cond fn over the map instance, names, java patterns,
-        claims_all)]`` for if/then/else, anyOf, oneOf and dependentSchemas
-        branches — claims count only when the branch APPLIED (the map-typed
-        mirror of ``_claimed_props_cond``; key matching stays Column-side
-        with isin/rlike because map keys are dynamic)."""
-
-        def and_(a, b):
-            if a is None:
-                return b
-            if b is None:
-                return a
-            return lambda x, *i: (F.coalesce(a(x, *i), F.lit(False))
-                                  & F.coalesce(b(x, *i), F.lit(False)))
-
-        def bvalid(s, suffix):
-            return self.lower(s, _Ctx(
-                dtype=ctx.dtype, path=ctx.path + suffix, scope=ctx.scope,
-                dpath=ctx.dpath, elementable=False, array=ctx.array,
-                array_key=ctx.array_key, spointer=_sp(ctx) + suffix,
-                stageable=False, options=ctx.options)).valid
-
+        claims_all)]`` — the map-typed mirror of ``_claimed_props_cond``
+        (key matching stays Column-side with isin/rlike because map keys
+        are dynamic)."""
         out: list = []
 
         def add(s, cond):
@@ -1232,30 +1231,7 @@ class Lowerer:
             if nm or jps or allc:
                 out.append((cond, tuple(nm), tuple(jps), allc))
 
-        def walk(s, cond, suffix):
-            if not isinstance(s, dict):
-                return
-            if isinstance(s.get("if"), (dict, bool)):
-                cif = bvalid(s["if"], suffix + ("if",))
-                add(s["if"], and_(cond, cif))
-                if "then" in s:
-                    add(s["then"], and_(cond, cif))
-                if "else" in s:
-                    def nif(x, *i, _c=cif):
-                        return ~F.coalesce(_c(x, *i), F.lit(False))
-                    add(s["else"], and_(cond, nif))
-            for kw in ("anyOf", "oneOf"):
-                for idx, sub in enumerate(s.get(kw, []) or []):
-                    add(sub, and_(cond, bvalid(sub, suffix + (kw, str(idx)))))
-            for k, sub in (s.get("dependentSchemas") or {}).items():
-                def present(x, *i, _k=k):
-                    return F.map_contains_key(x, F.lit(_k))
-                bsuf = suffix + ("dependentSchemas", k)
-                add(sub, and_(cond, and_(present, bvalid(sub, bsuf))))
-            for idx, sub in enumerate(s.get("allOf", []) or []):
-                walk(sub, cond, suffix + ("allOf", str(idx)))
-
-        walk(schema, None, ())
+        self._walk_branch_claims(schema, ctx, add, dependent_schemas=True)
         return out
 
     # ------------------------------------------------------------------
@@ -1425,28 +1401,43 @@ class Lowerer:
         if ap_kw is not None:
             ap = schema[ap_kw]
 
-            def claimed(x: Column, k: Column) -> Column:
+            def claimed_by(b, k: Column) -> Column:
+                """b = the bound per-row branch-validity struct (None when
+                there are no conditional sources)."""
                 c = F.lit(False)
                 if named:
                     c = c | k.isin(*named)
                 for p in pats:
                     c = c | k.rlike(p)
-                for cond, nm_j, ps_j, all_j in map_conds:
-                    a = F.coalesce(cond(x), F.lit(False))
+                for j, (_cond, nm_j, ps_j, all_j) in enumerate(map_conds):
                     cj = F.lit(all_j)
                     if nm_j:
                         cj = cj | k.isin(*nm_j)
                     for p in ps_j:
                         cj = cj | k.rlike(p)
-                    c = c | (a & cj)
+                    c = c | (b.getField(f"c{j}") & cj)
                 return c
+
+            def with_conds(x: Column, inner) -> Column:
+                """Evaluate every branch-validity cond ONCE per row and bind
+                the results as a lambda variable (single-element transform),
+                so the per-key lambda reads booleans instead of re-running
+                whole-map branch validation per key (interpreted HOF path)."""
+                if not map_conds:
+                    return inner(F.struct(F.lit(False).alias("c_")))
+                cs = F.struct(*[
+                    F.coalesce(c(x), F.lit(False)).alias(f"c{j}")
+                    for j, (c, _, _, _) in enumerate(map_conds)
+                ])
+                return F.element_at(F.transform(F.array(cs), inner), 1)
 
             if ap is False:
                 emit(ctx.cid(ap_kw),
-                     self._lift(lambda x: F.forall(
-                         key_of(x), lambda k: claimed(x, k))),
-                     self._lift(lambda x: F.to_json(
-                         F.filter(key_of(x), lambda k: ~claimed(x, k)))))
+                     self._lift(lambda x: with_conds(x, lambda b: F.forall(
+                         key_of(x), lambda k: claimed_by(b, k)))),
+                     self._lift(lambda x: with_conds(x, lambda b: F.to_json(
+                         F.filter(key_of(x),
+                                  lambda k: ~claimed_by(b, k))))))
             elif isinstance(ap, dict) and ap:
                 lowered = self.lower(
                     ap, _Ctx(dtype=dt.valueType,
@@ -1456,10 +1447,11 @@ class Lowerer:
                              spointer=_sp(ctx) + (ap_kw,),
                              options=ctx.options))
                 emit(ctx.cid(ap_kw),
-                     self._lift(lambda x, _v=lowered.valid: F.forall(
-                         F.map_entries(x),
-                         lambda e: claimed(x, e.getField("key"))
-                         | _v(e.getField("value")))),
+                     self._lift(lambda x, _v=lowered.valid: with_conds(
+                         x, lambda b: F.forall(
+                             F.map_entries(x),
+                             lambda e: claimed_by(b, e.getField("key"))
+                             | _v(e.getField("value"))))),
                      self._lift(obs))
 
     # ------------------------------------------------------------------
@@ -1586,11 +1578,24 @@ class Lowerer:
                     return n_col, all_col
 
                 def _cells(x, _ok=ue_ok):
+                    # bind the branch-validity bounds ONCE as a lambda
+                    # variable (single-element transform — the word_shingles
+                    # trick): referencing _bounds(x) inside the per-element
+                    # lambda would re-validate every branch per element in
+                    # Spark's interpreted HOF path (O(n^2) per row)
                     n_col, all_col = _bounds(x)
-                    return F.transform(
-                        x,
-                        lambda e, i: all_col | (i < n_col)
-                        | F.coalesce(_ok(e), F.lit(True)),
+                    bound = F.struct(n_col.alias("n"), all_col.alias("a"))
+                    return F.element_at(
+                        F.transform(
+                            F.array(bound),
+                            lambda b: F.transform(
+                                x,
+                                lambda e, i: b.getField("a")
+                                | (i < b.getField("n"))
+                                | F.coalesce(_ok(e), F.lit(True)),
+                            ),
+                        ),
+                        1,
                     )
 
                 emit(ctx.cid("unevaluatedItems"),

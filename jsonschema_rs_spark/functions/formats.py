@@ -66,6 +66,7 @@ _IDN_LABEL = (r"([A-Za-z0-9]|[^\x00-\x7f])"
               r"(([A-Za-z0-9-]|[^\x00-\x7f])*([A-Za-z0-9]|[^\x00-\x7f]))?")
 _IDN_EMAIL_RE = (rf"^({_IDN_LOCAL}|{_EMAIL_QUOTED})"
                  rf"@({_IDN_LABEL}(\.{_IDN_LABEL})*|{_EMAIL_LITERAL})$")
+_EMAIL_CTRL_RE = r"[\x00-\x1f\x7f]"
 _IPV4_RE = r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
 _UUID_RE = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
 # scheme : hier-part — reject whitespace and RFC 3986-excluded characters
@@ -177,10 +178,14 @@ def _idn_hostname_udf(s: pd.Series) -> pd.Series:
 def _email_shape(c: Column, rx: str) -> Column:
     """Structural email check: grammar regex + RFC 5321 length limits
     (local part 1..64, whole address <= 254).  The local part is everything
-    before the LAST '@' — a quoted local part may itself contain '@'."""
+    before the LAST '@' — a quoted local part may itself contain '@'.
+    Control characters are rejected explicitly: both regex dialects let an
+    unescaped ``$`` match before a trailing newline, so the anchor alone
+    would accept 'joe@x.org\\n' (the reference's parser rejects it)."""
     local_len = F.length(c) - F.length(F.substring_index(c, "@", -1)) - 1
     return (
         c.rlike(rx)
+        & ~c.rlike(_EMAIL_CTRL_RE)
         & (F.length(c) <= 254)
         & (local_len >= 1)
         & (local_len <= 64)

@@ -188,7 +188,14 @@ def _type_ok(value: Any, t: str) -> bool:
     if t == "boolean":
         return isinstance(value, bool)
     if t == "integer":
-        return isinstance(value, int) and not isinstance(value, bool)
+        # JSON Schema (draft 6+): any number with a zero fractional part is
+        # an integer — 1.0 satisfies "type": "integer" (the reference
+        # accepts minLength: 1.0)
+        if isinstance(value, bool):
+            return False
+        if isinstance(value, int):
+            return True
+        return isinstance(value, float) and value.is_integer()
     if t == "number":
         return isinstance(value, (int, float)) and not isinstance(value, bool)
     if t == "null":

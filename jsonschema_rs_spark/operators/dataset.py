@@ -330,10 +330,14 @@ def psi_drift(
         p = F.greatest(F.col(f"_n{i}").cast("double") / total, F.lit(eps))
         rr = max(float(r), eps)
         psi = psi + (p - F.lit(rr)) * F.log(p / F.lit(rr))
+    has_data = F.col("n_rows") > 0
     return agg.select(
         "n_rows",
-        F.round(psi, 6).alias("psi"),
-        (psi > threshold).alias("drifted"),
+        # empty input: NULL psi, not-drifted — a scheduled gate on an empty
+        # partition must not fire a bogus alarm (0/0 bins would otherwise
+        # floor every share at eps and report psi ~ n*(eps-r)*ln(eps/r))
+        F.when(has_data, F.round(psi, 6)).alias("psi"),
+        (has_data & (psi > threshold)).alias("drifted"),
     )
 
 

@@ -405,5 +405,11 @@ def connected_components_min(pairs: DataFrame, id_a: str = "id_a",
         )
         labels = new
         if changed == 0:
-            break
-    return labels
+            return labels
+    # silent non-convergence would return a real component SPLIT into
+    # several clusters (wrong keepers, under-deletion) — fail loudly
+    raise RuntimeError(
+        f"connected_components_min did not converge in {max_iter} "
+        f"iterations ({changed} labels still improving): a component's "
+        "diameter exceeds max_iter — raise max_iter (cost is one narrow "
+        "join per extra hop)")

@@ -555,9 +555,34 @@ _ERROR_KINDS = {
 }
 
 
-def error_kind_column(constraint_id: Column) -> Column:
-    """Typed error kind from the trailing keyword segment (reference's
-    ``ValidationErrorKind`` vocabulary, ``error.rs:63-143``)."""
+def error_kind_column(constraint_id: Column,
+                      keyword_location: Column | None = None) -> Column:
+    """Typed error kind (reference's ``ValidationErrorKind`` vocabulary,
+    ``error.rs:63-143``).
+
+    When ``keyword_location`` (the schema JSON Pointer) is available it is
+    preferred: its grammar puts the keyword LAST for every non-keyed
+    constraint (``/properties/<name>/<kw>``), so property names can never
+    shadow a keyword — the only key-terminal forms are
+    ``patternProperties/<pat>`` / ``dependentSchemas/<key>`` (kind Schema,
+    the default) and boolean ``prefixItems`` positions.  Classification
+    from the compact ``constraint_id`` alone stays heuristic: keyed
+    keywords take precedence over coincidental keyword-named keys, guarded
+    one container level up (a deeper double collision like
+    ``properties/properties/required/k`` still misreads — documented)."""
+    if keyword_location is not None:
+        segs = F.split(keyword_location, "/")
+        kw = F.element_at(segs, -1)
+        kw2 = F.when(F.size(segs) >= 2, F.element_at(segs, -2))
+        expr = F.lit("Schema")
+        for k, v in _ERROR_KINDS.items():
+            expr = F.when(kw == k, F.lit(v)).otherwise(expr)
+        # key-terminal containers: a regex / dependency key that happens to
+        # spell a keyword name must not classify as that keyword
+        for k in ("patternProperties", "dependentSchemas"):
+            expr = F.when(kw2 == k, F.lit("Schema")).otherwise(expr)
+        expr = F.when(kw2 == "prefixItems", F.lit("Items")).otherwise(expr)
+        return expr
     segs = F.split(constraint_id, "/")
     kw = F.element_at(segs, -1)
     # keyed keywords put the key/pattern LAST (required/<key>,
@@ -616,7 +641,8 @@ def basic_output(df: DataFrame, compiled: CompiledSpec,
         F.lit(False).alias("valid"),
         F.col("keyword_location"),
         F.col("instance_path"),
-        error_kind_column(F.col("constraint_id")).alias("kind"),
+        error_kind_column(F.col("constraint_id"),
+                          F.col("keyword_location")).alias("kind"),
         F.col("constraint_id"),
         F.col("span_index"),
         F.col("observed"),
@@ -714,7 +740,8 @@ def annotation_units(df: DataFrame, compiled: CompiledSpec,
         F.col("v.valid").alias("valid"),
         F.col("v.keyword_location").alias("keyword_location"),
         F.col("v.instance_path").alias("instance_path"),
-        error_kind_column(F.col("v.constraint_id")).alias("kind"),
+        error_kind_column(F.col("v.constraint_id"),
+                          F.col("v.keyword_location")).alias("kind"),
         F.col("v.constraint_id").alias("constraint_id"),
         F.col("v.span_index").alias("span_index"),
         F.col("v.observed").alias("observed"),

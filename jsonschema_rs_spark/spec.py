@@ -62,14 +62,24 @@ def _pointer_get(doc: Any, pointer: str,
     return cur
 
 
-def _collect_dynamic_anchors(root: Any) -> dict[str, Any]:
-    """``$dynamicAnchor`` name -> subschema for ONE schema resource; ''
-    maps to the ``$recursiveAnchor: true`` schema (or the resource root).
+# sentinel key for "this resource's root" in a dynamic-scope anchor map —
+# a tuple can never collide with a string anchor name
+_SELF = ("self",)
+
+
+def _collect_dynamic_anchors(root: Any) -> dict[Any, Any]:
+    """``$dynamicAnchor`` name -> subschema for ONE schema resource.
+
+    ``''`` maps to the resource root ONLY when the root carries
+    ``$recursiveAnchor: true`` (2019-09: the dynamic substitution for
+    ``$recursiveRef "#"`` applies only between anchored roots; without the
+    anchor, ``$recursiveRef`` degrades to a plain ``$ref`` to the CURRENT
+    resource root — tracked separately under the ``_SELF`` sentinel).
 
     Nested ``$id``-bearing subschemas are separate resources (their anchors
     belong to their own dynamic scope, entered via ``$ref``), so the walk
     stops at them."""
-    out: dict[str, Any] = {}
+    out: dict[Any, Any] = {}
 
     def walk(s, at_root=False):
         if isinstance(s, dict):
@@ -77,8 +87,6 @@ def _collect_dynamic_anchors(root: Any) -> dict[str, Any]:
                 return  # a nested resource: its own scope, not ours
             if isinstance(s.get("$dynamicAnchor"), str):
                 out.setdefault(s["$dynamicAnchor"], s)
-            if s.get("$recursiveAnchor") is True:
-                out.setdefault("", s)
             for v in s.values():
                 walk(v)
         elif isinstance(s, list):
@@ -87,7 +95,9 @@ def _collect_dynamic_anchors(root: Any) -> dict[str, Any]:
 
     walk(root, at_root=True)
     if isinstance(root, dict):
-        out.setdefault("", root)
+        if root.get("$recursiveAnchor") is True:
+            out[""] = root
+        out[_SELF] = root
     return out
 
 
@@ -175,7 +185,17 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
             if not (isinstance(frag, str) and frag.startswith("#")):
                 raise SpecError(f"{key} expects a '#...' fragment, got {frag!r}")
             name = frag[1:].lstrip("/")
-            anchor = _dyn_lookup(_dyn or (), name)
+            if key == "$recursiveRef" and name == "":
+                # 2019-09: dynamic substitution only when the CURRENT
+                # resource root is anchored; otherwise plain '#' to the
+                # current resource root (NOT the outermost document)
+                cur = (_dyn or ({},))[-1]
+                if "" in cur:
+                    anchor = _dyn_lookup(_dyn or (), "")
+                else:
+                    anchor = cur.get(_SELF)
+            else:
+                anchor = _dyn_lookup(_dyn or (), name)
             if anchor is None:
                 raise SpecError(
                     f"unresolvable {key} {frag!r}: no matching "
@@ -274,7 +294,11 @@ def validate_spec(schema: Any, custom_keywords: set[str] = frozenset()) -> None:
             raise SpecError(f"{k} expects a number, got {v!r}")
         if k in ("minLength", "maxLength", "minItems", "maxItems",
                  "minProperties", "maxProperties", "minContains",
-                 "maxContains") and (not isinstance(v, int) or v < 0):
+                 "maxContains") and not (
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            and float(v).is_integer() and v >= 0
+        ):
+            # integer-valued floats (1.0) are integers per draft 6+
             raise SpecError(f"{k} expects a non-negative integer, got {v!r}")
         if k == "pattern" and not isinstance(v, str):
             raise SpecError(f"pattern expects a string, got {v!r}")

@@ -393,6 +393,7 @@ def _check_format(fmt: str, v: str) -> bool:
         rx = FM._EMAIL_RE if fmt == "email" else FM._IDN_EMAIL_RE
         local_len = len(v) - len(v.rsplit("@", 1)[-1]) - 1
         return (bool(re.search(rx, v)) and len(v) <= 254
+                and not re.search(FM._EMAIL_CTRL_RE, v)
                 and 1 <= local_len <= 64)
     rx = {
         "uuid": FM._UUID_RE,

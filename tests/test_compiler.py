@@ -438,3 +438,35 @@ def test_map_unevaluated_props_static_when_no_branches(spark):
     got = {r["doc_id"]: r["valid"]
            for r in validation_frame(df, c, mode="verdicts").collect()}
     assert got == {"s1": True, "s2": False}
+
+
+def test_recursive_ref_without_anchor_targets_current_resource():
+    """2019-09: $recursiveRef '#' with NO $recursiveAnchor at the target
+    root is a plain $ref to the CURRENT resource root, not the outermost
+    document (code-review r3 finding #2)."""
+    b = {"$id": "urn:b", "maxLength": 9,
+         "properties": {"child": {"$recursiveRef": "#"}}}
+    root = {"minLength": 5, "properties": {"x": {"$ref": "urn:b"}}}
+    out = resolve_refs(root, resources={"urn:b": b}, recursion_limit=1)
+    child = out["properties"]["x"]["properties"]["child"]
+    assert child.get("maxLength") == 9, child     # b's root, not the doc's
+    assert "minLength" not in child, child
+
+    # WITH the anchor at both roots, the outermost anchored root wins
+    b2 = {"$id": "urn:b", "$recursiveAnchor": True, "maxLength": 9,
+          "properties": {"child": {"$recursiveRef": "#"}}}
+    root2 = {"$recursiveAnchor": True, "minLength": 5,
+             "properties": {"x": {"$ref": "urn:b"}}}
+    out2 = resolve_refs(root2, resources={"urn:b": b2}, recursion_limit=1)
+    child2 = out2["properties"]["x"]["properties"]["child"]
+    assert child2.get("minLength") == 5, child2   # document root
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest as _pytest
+    from jsonschema_rs_spark.operators import dedup as _DD
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a bigint, id_b bigint")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        _DD.connected_components_min(chain, max_iter=2)

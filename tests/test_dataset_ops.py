@@ -181,3 +181,11 @@ def test_hash_split_deterministic_and_proportional(spark):
     # no shuffle: one projection
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_psi_empty_input_is_not_drifted(spark):
+    from jsonschema_rs_spark.operators.dataset import psi_drift
+
+    empty = spark.range(0).select(F.col("id").cast("double").alias("v"))
+    row = psi_drift(empty, "v", [0.1] * 10, (0.0, 100.0)).collect()[0]
+    assert row["n_rows"] == 0 and row["psi"] is None and not row["drifted"]

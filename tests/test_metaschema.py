@@ -90,3 +90,13 @@ def test_flagship_and_drafted_specs_pass_gate():
                   "properties": {"spans": {"prefixItems": [
                       {"properties": {"kind": {"const": "text"}}}]}}},
                  SPAN_TABLE_SCHEMA, EngineOptions())
+
+
+def test_integer_valued_floats_accepted():
+    # draft 6+: 1.0 IS an integer (code-review r3 finding #1)
+    validate_against_metaschema({"minLength": 1.0, "maxItems": 2.0}, None)
+    validate_against_metaschema({"minLength": 1.0}, 2020)
+    with pytest.raises(SpecError):
+        validate_against_metaschema({"minLength": 1.5}, None)
+    compile_spec({"properties": {"doc_id": {"minLength": 1.0}}},
+                 SPAN_TABLE_SCHEMA)
