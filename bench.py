@@ -103,7 +103,8 @@ def main() -> None:
     # (BENCH_r02's unexplained entry regressions were best-of-2 artifacts)
     for name in ("ds_chi2_drift", "ds_ref_integrity", "txt_stats",
                  "dedup_minhash_lsh", "dedup_simhash", "sim_topk",
-                 "kw_unique_items", "apply_basic"):
+                 "kw_unique_items", "apply_basic", "ds_psi_drift",
+                 "dedup_components"):
         fn = E.queries()[name]
         timed(name, lambda _f=fn: _force(_f(spark, sf_dir)), repeat=3)
 
