@@ -1550,9 +1550,12 @@ class Lowerer:
         if isinstance(schema.get("unevaluatedItems"), (dict, bool)):
             n_all, all_all = _claimed_positions(schema)
             n_st, all_st = _claimed_positions(schema, conditionals=False)
+            # 2020-12: `contains` claims the items it MATCHES — an
+            # element-level runtime claim, handled on the gated path
+            has_contains = isinstance(schema.get("contains"), (dict, bool))
             if all_st:
                 pass  # unconditionally all claimed: nothing unevaluated
-            elif (n_all, all_all) == (n_st, all_st):
+            elif (n_all, all_all) == (n_st, all_st) and not has_contains:
                 # no conditional sources: static per-position attribution
                 self._emit_items(
                     schema["unevaluatedItems"], ctx, elem_dt, out, valids,
@@ -1560,6 +1563,10 @@ class Lowerer:
                     index_gate=("ge", n_st) if n_st else None)
             else:
                 conds = self._claimed_items_cond(schema, ctx)
+                cont_ok = None
+                if has_contains:
+                    cont_ok = self._lower_element_valid(
+                        schema["contains"], elem_dt, ctx, ("contains",))
                 ue_ok = self._lower_element_valid(
                     schema["unevaluatedItems"], elem_dt, ctx,
                     ("unevaluatedItems",))
@@ -1577,7 +1584,7 @@ class Lowerer:
                                 F.when(a, F.lit(nb)).otherwise(F.lit(0)))
                     return n_col, all_col
 
-                def _cells(x, _ok=ue_ok):
+                def _cells(x, _ok=ue_ok, _cont=cont_ok):
                     # bind the branch-validity bounds ONCE as a lambda
                     # variable (single-element transform — the word_shingles
                     # trick): referencing _bounds(x) inside the per-element
@@ -1585,15 +1592,19 @@ class Lowerer:
                     # Spark's interpreted HOF path (O(n^2) per row)
                     n_col, all_col = _bounds(x)
                     bound = F.struct(n_col.alias("n"), all_col.alias("a"))
+
+                    def cell(b, e, i):
+                        claimed = b.getField("a") | (i < b.getField("n"))
+                        if _cont is not None:  # contains-matched items
+                            claimed = claimed | F.coalesce(
+                                _cont(e), F.lit(False))
+                        return claimed | F.coalesce(_ok(e), F.lit(True))
+
                     return F.element_at(
                         F.transform(
                             F.array(bound),
                             lambda b: F.transform(
-                                x,
-                                lambda e, i: b.getField("a")
-                                | (i < b.getField("n"))
-                                | F.coalesce(_ok(e), F.lit(True)),
-                            ),
+                                x, lambda e, i: cell(b, e, i)),
                         ),
                         1,
                     )

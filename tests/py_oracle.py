@@ -229,9 +229,11 @@ def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list
                 n_all, all_all = _claimed_positions(schema)
                 n_st, all_st = _claimed_positions(schema,
                                                   conditionals=False)
+                has_contains = isinstance(schema.get("contains"),
+                                          (dict, bool))
                 if all_st:
                     pass
-                elif (n_all, all_all) == (n_st, all_st):
+                elif (n_all, all_all) == (n_st, all_st) and not has_contains:
                     # no conditional sources: static per-position path
                     for i, v in enumerate(value):
                         if i >= n_st:
@@ -268,9 +270,13 @@ def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list
 
                     _walk(schema)
                     if not all_rt:
+                        # 2020-12: contains claims the items it matches
                         bad = sum(
                             1 for i, v in enumerate(value)
-                            if i >= n_rt and not _is_valid(sval, v))
+                            if i >= n_rt
+                            and not (has_contains
+                                     and _is_valid(schema["contains"], v))
+                            and not _is_valid(sval, v))
                         if bad:
                             out.append(
                                 (path + ("unevaluatedItems",), bad))
