@@ -142,3 +142,52 @@ def stream_referential_violations(
         joined.filter(F.col(fk_col).isNotNull() & F.col("_pk").isNull())
         .select(*id_cols, F.col(fk_col).alias("dangling_ref"))
     )
+
+
+def windowed_psi_drift(
+    stream: DataFrame,
+    num_col: str,
+    ts_col: str,
+    ref_shares: list[float],
+    bounds: tuple[float, float],
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    threshold: float = 0.2,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Per-window Population Stability Index vs spec reference bin shares —
+    the streaming form of ``operators.dataset.psi_drift``.  Same bounded
+    shape as ``windowed_chi2_drift``: the per-bin histogram folds into ONE
+    watermarked windowed agg (bins are static in the spec) and the
+    statistic is plain Column math; state is open windows x 1 row."""
+    n = len(ref_shares)
+    lo, hi = float(bounds[0]), float(bounds[1])
+    width = (hi - lo) / n
+    b = F.least(
+        F.greatest(F.floor((F.col(num_col) - F.lit(lo)) / F.lit(width)),
+                   F.lit(0)),
+        F.lit(n - 1),
+    )
+    hist = (
+        stream.filter(F.col(num_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[F.sum((b == i).cast("long")).alias(f"_n{i}") for i in range(n)],
+        )
+    )
+    total = F.col("n_rows").cast("double")
+    psi = F.lit(0.0)
+    for i, r in enumerate(ref_shares):
+        p = F.greatest(F.coalesce(F.col(f"_n{i}"), F.lit(0)).cast("double")
+                       / total, F.lit(eps))
+        rr = max(float(r), eps)
+        psi = psi + (p - F.lit(rr)) * F.log(p / F.lit(rr))
+    has_data = F.col("n_rows") > 0
+    return hist.select(
+        "window",
+        "n_rows",
+        F.when(has_data, F.round(psi, 4)).alias("psi"),
+        (has_data & (psi > threshold)).alias("drifted"),
+    )

@@ -117,3 +117,37 @@ def test_stream_referential_integrity(spark, tmp_path):
             .select("doc_id", "span_index").collect()}
     assert {(r["doc_id"], r["span_index"]) for r in got} == want
     assert all(r["dangling_ref"].endswith("7") for r in got)
+
+
+def test_windowed_psi_drift_flags_shifted_window(spark, tmp_path):
+    """Two micro-batch windows: one matching the reference shares, one with
+    mass collapsed into half the support -> only the second drifts."""
+    import datetime as dt
+    from jsonschema_rs_spark.streaming.validate_stream import (
+        windowed_psi_drift,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(2000):
+        rows.append((t0, float(i % 100) + 0.5))                 # uniform
+        rows.append((t0 + dt.timedelta(minutes=5),
+                     float(i % 50) + 0.5))                      # shifted
+    src = str(tmp_path / "psi_src")
+    spark.createDataFrame(rows, "ts timestamp, v double").write.mode(
+        "overwrite").parquet(src)
+    stream = (spark.readStream.schema("ts timestamp, v double")
+              .parquet(src))
+    out = windowed_psi_drift(stream, "v", "ts", [0.1] * 10, (0.0, 100.0),
+                             window="1 minute", watermark="1 minute")
+    # complete mode: append only emits a window once the watermark passes
+    # its end, which a finite test feed never reaches for the last window
+    q = (out.writeStream.format("memory").queryName("psi_win")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        got = {r["window"].start.minute: r["drifted"]
+               for r in spark.sql("select * from psi_win").collect()}
+    finally:
+        q.stop()
+    assert got.get(0) is False and got.get(5) is True, got
