@@ -400,6 +400,18 @@ def q_ds_ref_integrity(spark, sf_dir):
     return DS.referential_violations(refs, "media_ref", catalog, "media_ref")
 
 
+def q_ds_ref_orders(spark, sf_dir):
+    """Referential integrity over the relational side tables: orders whose
+    o_custkey is missing from a (planted-holes) customer catalog — same
+    broadcast anti-join plan as the media_ref check, different fact/dim."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .filter(F.col("c_custkey") % 7 != 0))
+    out = DS.referential_violations(orders, "o_custkey", cust, "c_custkey")
+    return out.select(F.col("media_ref").cast("bigint").alias("o_custkey"),
+                      "n_refs")
+
+
 def q_ds_chi2_drift(spark, sf_dir):
     fs = flat_spans(spark, sf_dir)
     out = DS.chi_square_drift(fs, "kind", "part_key")
@@ -577,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_stats_bounds": q_ds_stats_bounds,
         "ds_unique": q_ds_unique,
         "ds_ref_integrity": q_ds_ref_integrity,
+        "ds_ref_orders": q_ds_ref_orders,
         "ds_chi2_drift": q_ds_chi2_drift,
         "ds_ks_drift": q_ds_ks_drift,
         "txt_stats": q_txt_stats,
@@ -797,6 +810,14 @@ SELECT doc_id, FALSE,
        "offset" || ' is not a multiple of 8'
            || ' at span ' || span_index
 FROM spans WHERE "offset" % 8 <> 0
+""",
+        "ds_ref_orders": """
+SELECT o_custkey, count(*) AS n_refs
+FROM orders
+WHERE o_custkey IS NOT NULL
+  AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                        WHERE c_custkey % 7 <> 0)
+GROUP BY o_custkey
 """,
         "ds_psi_drift": _psi_oracle_sql(),
         "ds_hash_split": _hash_split_oracle_sql(),
