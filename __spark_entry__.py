@@ -464,6 +464,14 @@ def q_dedup_simhash(spark, sf_dir):
     return DD.simhash_table(d, "doc_id", "text")
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Hamming-verified simhash near-dup pairs within band buckets
+    (round 3: completes the simhash family — signature table + blocking
+    existed; this adds the verified pair output)."""
+    return DD.simhash_pairs(_corpus(spark, sf_dir), "doc_id", "text",
+                            max_hamming=3, n_bands=4)
+
+
 def q_sim_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5).select(
@@ -597,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_topk": q_sim_topk,
         "sim_lsh_ann": q_sim_lsh_ann,
         "sim_ivf_ann": q_sim_ivf_ann,
@@ -1062,6 +1071,43 @@ votes AS (
 SELECT id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
                          ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY id
+""",
+        "dedup_simhash_pairs": f"""
+WITH corpus AS (
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS id, text FROM documents WHERE doc_id % 50 = 0
+),
+words AS (
+    SELECT id, string_split({_NORM_SQL}, ' ') AS ws FROM corpus
+),
+w2 AS (SELECT id, unnest(ws) AS w FROM words),
+h AS (SELECT id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv FROM w2),
+votes AS (
+    SELECT id, bb.b AS bit,
+           sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM h, unnest(range(0, 60)) AS bb(b)
+    GROUP BY id, bb.b
+),
+sh AS (
+    SELECT id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                             ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY id
+),
+bucketed AS (
+    SELECT id, simhash, bb.b AS band,
+           (simhash >> (bb.b * 15)) & 32767 AS bucket
+    FROM sh, unnest(range(0, 4)) AS bb(b)
+),
+cand AS (
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bucketed a JOIN bucketed b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(min(hamming) AS INTEGER) AS hamming
+FROM cand WHERE hamming <= 3
+GROUP BY id_a, id_b
 """,
         "sim_topk": """
 WITH scored AS (

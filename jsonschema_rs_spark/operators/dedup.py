@@ -413,3 +413,48 @@ def connected_components_min(pairs: DataFrame, id_a: str = "id_a",
         f"iterations ({changed} labels still improving): a component's "
         "diameter exceeds max_iter — raise max_iter (cost is one narrow "
         "join per extra hop)")
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
+    """Near-dup pairs with VERIFIED hamming distance ≤ ``max_hamming``,
+    found within simhash band buckets: ``(id_a, id_b, hamming)``.
+
+    Recall guarantee by pigeonhole: a pair differing in fewer bits than
+    there are bands shares at least one identical band, so every pair with
+    hamming < ``n_bands`` is found (``max_hamming`` ≤ ``n_bands`` - 1 keeps
+    the guarantee exact).  Verification is one codegen expression —
+    ``bit_count(simhash_a XOR simhash_b)`` — computed map-side in the
+    bucket join; only narrow (ids, hamming) rows that already pass the
+    threshold reach the band-dedup agg (same shuffle discipline as the
+    LSH ANN path).  Signatures come from ``simhash_table`` (exploded
+    codegen agg), not the interpreted per-row HOF variant."""
+    bits_per_band = 60 // n_bands
+    base = simhash_table(df, id_col, text_col)  # columns (id, simhash)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * bits_per_band)
+            .bitwiseAND(F.lit((1 << bits_per_band) - 1)).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    bucketed = base.select(
+        "id", "simhash", F.explode(F.array(*bands)).alias("bb")
+    ).select("id", "simhash", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    return (
+        bucketed.alias("a")
+        .join(bucketed.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )

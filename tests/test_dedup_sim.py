@@ -241,3 +241,14 @@ def test_connected_components_chains_converge(spark):
            for r in DD.connected_components_min(edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}, got
+
+
+def test_simhash_pairs_find_planted_at_hamming_zero(spark):
+    corpus, planted = _corpus(spark)
+    out = DD.simhash_pairs(corpus, "doc_id", "text", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    for p in planted:
+        assert got.get((p - 1_000_000, p)) == 0, p
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # band dedup is a combinable min-agg over narrow (ids, hamming) rows
+    assert "partial_min(hamming" in plan, plan
