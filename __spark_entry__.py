@@ -189,6 +189,35 @@ def q_kw_bounds(spark, sf_dir):
     return violations(df, compile_spec(spec, df.schema))
 
 
+def q_kw_draft4_integer(spark, sf_dir):
+    """Draft-4 vs draft-7 ``type: "integer"`` over a DOUBLE column.
+
+    Draft 4's ``is_integer`` is ``is_u64 || is_i64`` (reference
+    ``keywords/legacy/type_draft_4.rs:113-114``) so EVERY double fails,
+    while draft 7+ admits integer-valued floats (``type_.rs:290-292``) so
+    only fractional values fail — the union makes the per-draft gate
+    value-visible to the oracle."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0,
+               (F.col("event_id") % 100000).cast("double"))
+        .otherwise((F.col("event_id") % 100000) + F.lit(0.5))
+        .alias("ratio"),
+    )
+    body = {"properties": {"ratio": {"type": "integer"}}}
+    v4 = violations(
+        ev, compile_spec(
+            {"$schema": "http://json-schema.org/draft-04/schema#", **body},
+            ev.schema),
+        id_cols=("event_id",)).withColumn("draft", F.lit(4))
+    v7 = violations(
+        ev, compile_spec(
+            {"$schema": "http://json-schema.org/draft-07/schema#", **body},
+            ev.schema),
+        id_cols=("event_id",)).withColumn("draft", F.lit(7))
+    return v4.unionByName(v7)
+
+
 def q_kw_map_deps(spark, sf_dir):
     """dependentRequired / propertyNames / minProperties over a MAP column
     with dynamic keys (constructed deterministically from event_id)."""
@@ -586,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_content": q_kw_content,
         "kw_logic": q_kw_logic,
         "kw_bounds": q_kw_bounds,
+        "kw_draft4_integer": q_kw_draft4_integer,
         "kw_map_deps": q_kw_map_deps,
         "kw_uneval_map": q_kw_uneval_map,
         "kw_uneval_items": q_kw_uneval_items,
@@ -749,6 +779,24 @@ SELECT event_id, 'props/k' AS constraint_id,
        json_extract_string(props, '$.k') AS observed
 FROM events
 WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+""",
+        "kw_draft4_integer": """
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN event_id % 3 = 0
+              THEN CAST(event_id % 100000 AS DOUBLE)
+              ELSE (event_id % 100000) + 0.5 END AS ratio
+  FROM events
+)
+SELECT event_id, 'ratio/type' AS constraint_id,
+       CAST(NULL AS INTEGER) AS span_index,
+       CAST(ratio AS VARCHAR) AS observed, 4 AS draft
+FROM ev
+UNION ALL
+SELECT event_id, 'ratio/type' AS constraint_id,
+       CAST(NULL AS INTEGER) AS span_index,
+       CAST(ratio AS VARCHAR) AS observed, 7 AS draft
+FROM ev WHERE ratio <> floor(ratio)
 """,
         "kw_format_date": """
 SELECT event_id, 'd/format' AS constraint_id,

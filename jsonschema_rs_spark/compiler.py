@@ -288,9 +288,16 @@ def _obs_str(dt: DataType) -> Callable[[Column], Column]:
 # keyword lowerings (value-level; each returns pred over the node instance)
 # --------------------------------------------------------------------------
 
-def _lower_type(value: Any, dt: DataType) -> Callable[[Column], Column]:
+def _lower_type(value: Any, dt: DataType,
+                draft: int | None = None) -> Callable[[Column], Column]:
     """Reference ``keywords/type_.rs:295-329`` (+ integer-valued floats at
-    ``:290-292``). Static when the typed column decides it."""
+    ``:290-292``). Static when the typed column decides it.
+
+    Draft 4 is stricter: ``is_integer`` is ``is_u64 || is_i64``
+    (``keywords/legacy/type_draft_4.rs:113-114``) — ``1.0`` is NOT an
+    integer.  A fractional Spark column holds JSON fractional
+    representations, so under draft 4 ``integer`` is statically false on it.
+    """
     wanted = value if isinstance(value, list) else [value]
 
     def one(t: str) -> Callable[[Column], Column]:
@@ -304,6 +311,8 @@ def _lower_type(value: Any, dt: DataType) -> Callable[[Column], Column]:
             if isinstance(dt, _INTEGRALS):
                 return _true
             if isinstance(dt, _FRACTIONALS):
+                if draft == 4:
+                    return lambda x: F.lit(False)
                 return lambda x: x == F.floor(x)
             return lambda x: F.lit(False)
         if t == "number":
@@ -663,7 +672,9 @@ class Lowerer:
 
         # ---- scalar / value keywords ------------------------------------
         if "type" in schema and "type" not in handled_custom:
-            emit(ctx.cid("type"), self._lift(_lower_type(schema["type"], dt)),
+            emit(ctx.cid("type"),
+                 self._lift(_lower_type(schema["type"], dt,
+                                        ctx.options.draft)),
                  self._lift(obs))
         if "enum" in schema and "enum" not in handled_custom:
             emit(ctx.cid("enum"), self._lift(_lower_enum(schema["enum"], dt)),

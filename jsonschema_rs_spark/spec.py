@@ -101,6 +101,37 @@ def _collect_dynamic_anchors(root: Any) -> dict[Any, Any]:
     return out
 
 
+def _pointer_resource(doc: Any, pointer: str) -> Any | None:
+    """The innermost ``$id``-carrying subschema a local ``#/...`` pointer
+    path crosses (including the target itself), or None.
+
+    Entering a schema RESOURCE pushes its dynamic scope no matter how it was
+    entered (reference ``ref_.rs`` dynamic-scope walk) — a local pointer
+    ``#/$defs/inner`` into an embedded ``$id`` resource must resolve that
+    resource's ``$dynamicAnchor``s exactly as entry via its URI would."""
+    if not pointer.startswith("#"):
+        return None
+    cur, found = doc, None
+    for raw in pointer[1:].split("/"):
+        if raw == "":
+            continue
+        token = raw.replace("~1", "/").replace("~0", "~")
+        if isinstance(cur, list):
+            try:
+                cur = cur[int(token)]
+            except (ValueError, IndexError):
+                return None
+        elif isinstance(cur, dict):
+            if token not in cur:
+                return None
+            cur = cur[token]
+        else:
+            return None
+        if isinstance(cur, dict) and isinstance(cur.get("$id"), str):
+            found = cur
+    return found
+
+
 def _dyn_lookup(scopes: tuple, name: str) -> Any | None:
     """Resolve a dynamic anchor across the dynamic scope: the OUTERMOST
     schema resource (earliest entered) defining the anchor wins — the
@@ -230,6 +261,13 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
                     # scope (innermost last; lookups scan outermost-first)
                     new_dyn = (_dyn or ()) + (
                         _collect_dynamic_anchors(resources[uri]),)
+            else:
+                # a LOCAL pointer that descends into (or lands on) an
+                # embedded $id subschema also enters that resource
+                res = _pointer_resource(root, ref)
+                if res is not None:
+                    new_dyn = (_dyn or ()) + (
+                        _collect_dynamic_anchors(res),)
             resolved = rec(target, depth + 1, dyn=new_dyn)
             # Draft 2019+ allows sibling keywords next to $ref: merge them.
             siblings = {k: v for k, v in schema.items() if k != "$ref"}

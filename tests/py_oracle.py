@@ -16,6 +16,11 @@ from typing import Any
 
 SPAN_FIELDS = ("kind", "text", "media_ref", "offset")
 
+# Active draft dialect for a validate_doc call (test oracle is
+# single-threaded; set/reset by validate_doc).  Only draft-4's stricter
+# integer rule consults it today.
+_DRAFT: int | None = None
+
 
 def _obs(v: Any) -> str:
     if isinstance(v, dict):
@@ -59,8 +64,11 @@ def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list
                 elif t == "boolean":
                     ok |= isinstance(value, bool)
                 elif t == "integer":
+                    # draft 4: is_u64 || is_i64 only (reference
+                    # legacy/type_draft_4.rs:113-114) — 1.0 is NOT integer
                     ok |= (isinstance(value, int) and not isinstance(value, bool)) or (
-                        isinstance(value, float) and value == math.floor(value))
+                        _DRAFT != 4 and isinstance(value, float)
+                        and value == math.floor(value))
                 elif t == "number":
                     ok |= isinstance(value, (int, float)) and not isinstance(value, bool)
                 elif t == "array":
@@ -413,13 +421,27 @@ def _check_format(fmt: str, v: str) -> bool:
     return True
 
 
-def validate_doc(schema: dict, data: dict):
+def _sniff_draft_uri(schema) -> int | None:
+    uri = schema.get("$schema", "") if isinstance(schema, dict) else ""
+    for tag, n in (("draft-04", 4), ("draft-06", 6), ("draft-07", 7),
+                   ("2019-09", 2019), ("2020-12", 2020)):
+        if tag in uri:
+            return n
+    return None
+
+
+def validate_doc(schema: dict, data: dict, draft: int | None = None):
     """(valid, violations) for one document; violations are
     (doc_id, constraint_id, span_index, observed) matching the engine."""
     from jsonschema_rs_spark.spec import resolve_refs
 
+    global _DRAFT
+    _DRAFT = draft if draft is not None else _sniff_draft_uri(schema)
     schema = resolve_refs(schema)
-    raw = _errors(schema, data, (), is_root=True)
+    try:
+        raw = _errors(schema, data, (), is_root=True)
+    finally:
+        _DRAFT = None
     viols = []
     for item in raw:
         if len(item) == 3:

@@ -374,6 +374,30 @@ def test_dynamic_scope_outermost_of_two_resources_wins():
     assert out["properties"]["text"].get("maxLength") == 3, out
 
 
+def test_local_pointer_ref_into_embedded_id_resource_pushes_scope():
+    """A LOCAL ``$ref: '#/$defs/inner'`` whose target carries ``$id`` +
+    ``$dynamicAnchor`` enters that resource — its own ``$dynamicRef``
+    anchors must resolve exactly as entry via the ``$id`` URI would
+    (round-4 ADVICE: scope push happened only for non-'#' refs)."""
+    root = {
+        "$defs": {"inner": {
+            "$id": "urn:inner",
+            "$dynamicAnchor": "leaf",
+            "minLength": 5,
+            "properties": {"text": {"$dynamicRef": "#leaf"}},
+        }},
+        "$ref": "#/$defs/inner",
+    }
+    out = resolve_refs(root, recursion_limit=1)
+    assert out["properties"]["text"].get("minLength") == 5, out
+
+    # equivalence: entering the same resource via its $id URI
+    via_uri = resolve_refs(
+        {"$defs": {"inner": root["$defs"]["inner"]}, "$ref": "urn:inner"},
+        recursion_limit=1)
+    assert via_uri["properties"]["text"].get("minLength") == 5, via_uri
+
+
 def test_nested_id_resource_anchor_not_leaked_into_parent_scope():
     # an anchor inside a NESTED $id resource belongs to that resource's
     # scope; from the parent it is not in scope until the resource is

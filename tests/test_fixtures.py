@@ -38,7 +38,9 @@ def test_fixture_case(spark, case, n_parts):
     rows = [t["data"] for t in case["tests"]]
     for r in rows:
         r.setdefault("part_key", 0)
-    df = spark.createDataFrame(rows, SPAN_TABLE_SCHEMA).repartition(n_parts)
+    # optional per-case table shape (DDL string); default: the span table
+    tbl = case.get("columns", SPAN_TABLE_SCHEMA)
+    df = spark.createDataFrame(rows, tbl).repartition(n_parts)
     compiled = compile_spec(case["schema"], df.schema)
 
     vf = validation_frame(df, compiled, mode="both")
