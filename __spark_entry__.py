@@ -98,7 +98,7 @@ def _kw_violations(spark, sf_dir, spec) -> DataFrame:
 
 def q_kw_enum(spark, sf_dir):
     return _kw_violations(spark, sf_dir, _span_spec(
-        {"items": {"properties": {"kind": {"enum": ["text", "image", "audio"]}}}}))
+        {"items": {"properties": {"kind": {"enum": ["text","image","audio"]}}}}))
 
 
 def q_kw_minimum(spark, sf_dir):
@@ -364,11 +364,14 @@ def q_apply_basic(spark, sf_dir):
     from jsonschema_rs_spark.plans.validate import basic_output
 
     df = derive_spans(spark, sf_dir)
-    spec = _span_spec({"items": {"properties": {
-        "kind": {"enum": ["text", "image", "audio"]},
-        "text": {"minLength": 4},
-        "offset": {"minimum": 0, "multipleOf": 8},
-    }}})
+    spec = {
+        "$defs": {"spanChecks": {"items": {"properties": {
+            "kind": {"enum": ["text","image","audio"]},
+            "text": {"minLength": 4},
+            "offset": {"minimum": 0, "multipleOf": 8},
+        }}}},
+        "properties": {"spans": {"$ref": "#/$defs/spanChecks"}},
+    }
     return basic_output(df, compile_spec(spec, df.schema))
 
 
@@ -379,10 +382,13 @@ def q_apply_units(spark, sf_dir):
     from jsonschema_rs_spark.plans.validate import basic_output
 
     df = derive_spans(spark, sf_dir).filter(F.col("part_key") == 3)
-    spec = _span_spec({"items": {"properties": {
-        "kind": {"enum": ["text", "image", "audio"]},
-        "offset": {"minimum": 0},
-    }}})
+    spec = {
+        "$defs": {"spanChecks": {"items": {"properties": {
+            "kind": {"enum": ["text","image","audio"]},
+            "offset": {"minimum": 0},
+        }}}},
+        "properties": {"spans": {"$ref": "#/$defs/spanChecks"}},
+    }
     return basic_output(df, compile_spec(spec, df.schema),
                         include_annotations=True)
 
@@ -831,16 +837,18 @@ FROM events WHERE event_id % 4 = 3
         "apply_basic": SPANS_CTE_SQL + """
 SELECT doc_id, FALSE AS valid,
        '/properties/spans/items/properties/kind/enum' AS keyword_location,
+       '#/$defs/spanChecks/items/properties/kind/enum' AS absolute_keyword_location,
        '/spans/' || span_index || '/kind' AS instance_path,
        'Enum' AS kind,
        'spans/items/kind/enum' AS constraint_id, span_index,
        kind AS observed,
-       kind || ' is not one of ["text", "image", "audio"]'
+       kind || ' is not one of ["text","image","audio"]'
            || ' at span ' || span_index AS message
 FROM spans WHERE kind NOT IN ('text', 'image', 'audio')
 UNION ALL
 SELECT doc_id, FALSE,
        '/properties/spans/items/properties/text/minLength',
+       '#/$defs/spanChecks/items/properties/text/minLength',
        '/spans/' || span_index || '/text',
        'MinLength',
        'spans/items/text/minLength', span_index, text,
@@ -850,6 +858,7 @@ FROM spans WHERE text IS NOT NULL AND len(text) < 4
 UNION ALL
 SELECT doc_id, FALSE,
        '/properties/spans/items/properties/offset/minimum',
+       '#/$defs/spanChecks/items/properties/offset/minimum',
        '/spans/' || span_index || '/offset',
        'Minimum',
        'spans/items/offset/minimum', span_index,
@@ -860,6 +869,7 @@ FROM spans WHERE "offset" < 0
 UNION ALL
 SELECT doc_id, FALSE,
        '/properties/spans/items/properties/offset/multipleOf',
+       '#/$defs/spanChecks/items/properties/offset/multipleOf',
        '/spans/' || span_index || '/offset',
        'MultipleOf',
        'spans/items/offset/multipleOf', span_index,
@@ -921,18 +931,20 @@ WHERE bad > 0
 SELECT doc_id,
        spans.kind IN ('text', 'image', 'audio') AS valid,
        '/properties/spans/items/properties/kind/enum' AS keyword_location,
+       '#/$defs/spanChecks/items/properties/kind/enum' AS absolute_keyword_location,
        '/spans/' || span_index || '/kind' AS instance_path,
        'Enum' AS kind,
        'spans/items/kind/enum' AS constraint_id, span_index,
        spans.kind AS observed,
        CASE WHEN spans.kind IN ('text', 'image', 'audio') THEN NULL
-            ELSE spans.kind || ' is not one of ["text", "image", "audio"]'
+            ELSE spans.kind || ' is not one of ["text","image","audio"]'
                  || ' at span ' || span_index END AS message
 FROM spans WHERE part_key = 3
 UNION ALL
 SELECT doc_id,
        "offset" >= 0,
        '/properties/spans/items/properties/offset/minimum',
+       '#/$defs/spanChecks/items/properties/offset/minimum',
        '/spans/' || span_index || '/offset',
        'Minimum',
        'spans/items/offset/minimum', span_index,

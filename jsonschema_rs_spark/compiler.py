@@ -1024,8 +1024,33 @@ class Lowerer:
             out.append(self._mk(ctx, ctx.cid("propertyNames"), pred, observed))
             valids.append(pred)
 
-        # additionalProperties on a typed struct is enforced by the schema
-        # itself (closed world) — nothing to emit. (MapType handled below.)
+        # additionalProperties on a typed struct: applies to PRESENT fields
+        # not matched by properties/patternProperties (reference
+        # ``additional_properties.rs:79-864``).  A declared span table is
+        # usually closed-world (every field named in properties → nothing
+        # emitted), but when the typed struct carries extra fields the
+        # keyword must gate them, presence-checked via non-NULL.
+        ap = schema.get("additionalProperties")
+        if isinstance(ap, (dict, bool)) and ap is not True:
+            named = set(schema.get("properties", {}) or {})
+            matchers = []
+            for pat in (schema.get("patternProperties", {}) or {}):
+                matchers.append(driver_regex_matcher(pat))
+            extra_fields = [nm for nm in fields
+                            if nm not in named
+                            and not any(m(nm) for m in matchers)]
+            if ap is False or ap == {"not": {}}:
+                for nm in extra_fields:
+                    pred = lambda x, *i, _k=nm: x.getField(_k).isNull()
+                    obs_f = _obs_str(fields[nm])
+                    out.append(self._mk(
+                        ctx, ctx.cid("additionalProperties", nm), pred,
+                        lambda x, *i, _k=nm, _o=obs_f: _o(x.getField(_k))))
+                    valids.append(pred)
+            else:
+                for nm in extra_fields:
+                    descend(nm, ap, ("additionalProperties", nm),
+                            sp_extra=("additionalProperties",))
 
         # unevaluatedProperties — CONDITIONAL claim resolution on a typed
         # struct: field names are known at compile time, and claims made
@@ -1899,7 +1924,8 @@ def compile_spec(
 
     validate_against_metaschema(schema, draft)
     resolved = resolve_refs(schema, resources=options.resources or None,
-                            recursion_limit=options.recursion_limit)
+                            recursion_limit=options.recursion_limit,
+                            draft=draft)
     validate_spec(resolved, set(options.custom_keywords))
     lowerer = Lowerer(table_schema, options)
     lowered = lowerer.lower_root(resolved)

@@ -54,7 +54,26 @@ _EMAIL_LOCAL = (
 )
 _EMAIL_QUOTED = r'"([^"\\]|\\.)*"'
 _IPV4_BODY = r"((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
-_EMAIL_LITERAL = rf"\[(IPv6:[0-9A-Fa-f:.]+|{_IPV4_BODY})\]"
+# structural IPv6: bounded group counts with a single optional '::' and an
+# optional embedded-IPv4 tail — the regex mirror of the reference's real
+# Ipv6Addr parse of the literal body (format.rs:290-307); rejects
+# 'IPv6:1:::2' and 9-group addresses that a loose charset check admitted
+_IPV6SEG = r"[0-9A-Fa-f]{1,4}"
+_IPV6_BODY = (
+    rf"({_IPV6SEG}:){{7}}{_IPV6SEG}"
+    rf"|({_IPV6SEG}:){{1,7}}:"
+    rf"|({_IPV6SEG}:){{1,6}}:{_IPV6SEG}"
+    rf"|({_IPV6SEG}:){{1,5}}(:{_IPV6SEG}){{1,2}}"
+    rf"|({_IPV6SEG}:){{1,4}}(:{_IPV6SEG}){{1,3}}"
+    rf"|({_IPV6SEG}:){{1,3}}(:{_IPV6SEG}){{1,4}}"
+    rf"|({_IPV6SEG}:){{1,2}}(:{_IPV6SEG}){{1,5}}"
+    rf"|{_IPV6SEG}:(:{_IPV6SEG}){{1,6}}"
+    rf"|:((:{_IPV6SEG}){{1,7}}|:)"
+    rf"|::(ffff(:0{{1,4}})?:)?{_IPV4_BODY}"
+    rf"|({_IPV6SEG}:){{1,4}}:{_IPV4_BODY}"
+    rf"|({_IPV6SEG}:){{6}}{_IPV4_BODY}"
+)
+_EMAIL_LITERAL = rf"\[(IPv6:({_IPV6_BODY})|{_IPV4_BODY})\]"
 _EMAIL_RE = (rf"^({_EMAIL_LOCAL}|{_EMAIL_QUOTED})"
              rf"@({_HOSTNAME_BODY}|{_EMAIL_LITERAL})$")
 # idn-email: the same grammar with atext / hostname label characters

@@ -138,23 +138,30 @@ def ngram_jaccard_pairs(
     ``df_cap``: absolute when an int (default 100, oracle-reproducible);
     a float < 1 is RELATIVE — max(100, df_cap × n_docs) — which is the right
     setting for real corpora where "appears in 1% of documents" is the
-    stopword-gram criterion regardless of corpus size (costs one count)."""
+    stopword-gram criterion regardless of corpus size.  The relative cap is
+    resolved INSIDE the job (a 1-row count broadcast-joined onto the
+    shingle frequencies) — building the frame triggers no Spark job."""
     sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), n).alias("shingles"),
     )
-    if isinstance(df_cap, float) and df_cap < 1:
-        df_cap = max(100, int(df_cap * sh.count()))
     sizes = sh.select("id", F.size("shingles").alias("n_sh")).filter(
         F.col("n_sh") > 0
     )
     inv = sh.select("id", F.explode("shingles").alias("shingle"))
     df_freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    inv = inv.join(
-        F.broadcast(df_freq.filter(F.col("df_") > df_cap).select("shingle")),
-        "shingle",
-        "left_anti",
-    )
+    if isinstance(df_cap, float) and df_cap < 1:
+        cap_df = sh.select(
+            F.greatest(
+                F.lit(100).cast("bigint"),
+                (F.lit(df_cap) * F.count(F.lit(1))).cast("bigint"),
+            ).alias("cap_")
+        )
+        hot = (df_freq.crossJoin(F.broadcast(cap_df))
+               .filter(F.col("df_") > F.col("cap_")).select("shingle"))
+    else:
+        hot = df_freq.filter(F.col("df_") > df_cap).select("shingle")
+    inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), "shingle")
@@ -334,13 +341,9 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select("id", sim.alias("simhash"))
 
 
-def simhash_buckets(df: DataFrame, id_col: str, text_col: str,
-                    n_bands: int = 4) -> DataFrame:
-    """(id, simhash, band, bucket): docs sharing a 15-bit band bucket are
-    hamming-near candidates (standard simhash blocking)."""
+def _band_explode(base: DataFrame, n_bands: int) -> DataFrame:
+    """(id, simhash) → (id, simhash, band, bucket) rows, one per band."""
     bits_per_band = 60 // n_bands
-    base = df.select(F.col(id_col).alias("id"),
-                     simhash64(F.col(text_col)).alias("simhash"))
     bands = [
         F.struct(
             F.lit(b).alias("band"),
@@ -354,6 +357,18 @@ def simhash_buckets(df: DataFrame, id_col: str, text_col: str,
         "id", "simhash", F.explode(F.array(*bands)).alias("bb")
     ).select("id", "simhash", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
+
+
+def simhash_buckets(df: DataFrame, id_col: str, text_col: str,
+                    n_bands: int = 4) -> DataFrame:
+    """(id, simhash, band, bucket): docs sharing a 15-bit band bucket are
+    hamming-near candidates (standard simhash blocking).
+
+    Signatures come from ``simhash_table`` (exploded whole-stage-codegen
+    aggregation) — round 4; the per-row ``simhash64`` HOF is interpreted
+    (CodegenFallback, 25-40× per core) and stays available only for
+    embedding a signature inside a larger per-row plan."""
+    return _band_explode(simhash_table(df, id_col, text_col), n_bands)
 
 
 # --------------------------------------------------------------------------
@@ -429,20 +444,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     threshold reach the band-dedup agg (same shuffle discipline as the
     LSH ANN path).  Signatures come from ``simhash_table`` (exploded
     codegen agg), not the interpreted per-row HOF variant."""
-    bits_per_band = 60 // n_bands
-    base = simhash_table(df, id_col, text_col)  # columns (id, simhash)
-    bands = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * bits_per_band)
-            .bitwiseAND(F.lit((1 << bits_per_band) - 1)).alias("bucket"),
-        )
-        for b in range(n_bands)
-    ]
-    bucketed = base.select(
-        "id", "simhash", F.explode(F.array(*bands)).alias("bb")
-    ).select("id", "simhash", F.col("bb.band").alias("band"),
-             F.col("bb.bucket").alias("bucket"))
+    bucketed = _band_explode(simhash_table(df, id_col, text_col), n_bands)
     return (
         bucketed.alias("a")
         .join(bucketed.alias("b"), ["band", "bucket"])

@@ -242,25 +242,37 @@ def verdicts(df: DataFrame, compiled: CompiledSpec,
     per-core penalty.  Only right when any shuffle at all is unacceptable;
     returns PER-ROW verdicts (duplicate ids not merged).
 
-    NULL ids: the prefilter join drops NULL join keys, so a NULL-id doc is
-    reported valid regardless of content under 'prefilter' ('exploded'
-    groups NULL ids like any other key) — reject or synthesize ids first
-    (the resumable runner enforces the same for partition keys).
+    NULL ids group like any other key under every strategy: 'exploded'
+    aggregates them directly, and 'prefilter' joins with null-safe
+    equality (round 4 — a plain equi-join silently reported NULL-id docs
+    valid regardless of content).
     """
     if strategy == "hof":
         return validation_frame(df, compiled, id_cols, mode="verdicts")
     if strategy == "prefilter":
+        import warnings
+
+        warnings.warn(
+            "verdicts(strategy='prefilter') has lost every recorded "
+            "comparison against the default 'exploded' strategy (it costs "
+            "a second full input scan); use it only when the id universe "
+            "is already materialized cheaply",
+            UserWarning, stacklevel=2)
+        universe = df.select(*[F.col(c) for c in id_cols]).distinct()
         bad = (
             violations(df, compiled, id_cols=id_cols)
             .select(*id_cols)
             .distinct()
             .withColumn("_bad", F.lit(True))
         )
+        cond = None
+        for c in id_cols:
+            e = universe[c].eqNullSafe(bad[c])
+            cond = e if cond is None else (cond & e)
         return (
-            df.select(*[F.col(c) for c in id_cols])
-            .distinct()
-            .join(bad, list(id_cols), "left")
-            .select(*id_cols, F.col("_bad").isNull().alias("valid"))
+            universe.join(bad, cond, "left")
+            .select(*[universe[c] for c in id_cols],
+                    F.col("_bad").isNull().alias("valid"))
         )
     if strategy != "exploded":
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -610,6 +622,56 @@ def error_kind_column(constraint_id: Column,
     return expr
 
 
+def absolute_locations(compiled: CompiledSpec) -> dict:
+    """constraint_id → absoluteKeywordLocation (or None when the keyword's
+    location crosses no ``$ref``) — reference ``output.rs:193-200,242-249``.
+
+    Refs are inlined at compile time, so the pre-inline resource URI +
+    pointer is recorded on each inlined subtree root (``$__abs__``,
+    ``spec.resolve_refs``); walking the RESOLVED schema along each
+    constraint's ``schema_path`` finds the innermost crossing and rebases
+    the remaining segments onto it.  Driver-side constants — zero runtime
+    cost."""
+    out: dict = {}
+    for c in compiled.constraints:
+        out[c.constraint_id] = None
+        sp = c.schema_path or ""
+        segs = [s for s in sp.split("/") if s != ""]
+        node = compiled.schema
+        base = None
+        base_idx = 0
+        for idx, raw in enumerate(segs):
+            if isinstance(node, dict) and "$__abs__" in node:
+                base, base_idx = node["$__abs__"], idx
+            tok = raw.replace("~1", "/").replace("~0", "~")
+            if isinstance(node, list):
+                try:
+                    node = node[int(tok)]
+                except (ValueError, IndexError):
+                    break
+            elif isinstance(node, dict) and tok in node:
+                node = node[tok]
+            else:
+                break
+        if base is not None:
+            rem = segs[base_idx:]
+            out[c.constraint_id] = base + (
+                "/" + "/".join(rem) if rem else "")
+    return out
+
+
+def absolute_location_column(compiled: CompiledSpec,
+                             cid_col: Column) -> Column:
+    """Nullable ``absolute_keyword_location`` column from the constant
+    per-constraint map (a when-chain over constraint ids — folds to a
+    constant per constraint inside codegen)."""
+    expr = F.lit(None).cast("string")
+    for k, v in absolute_locations(compiled).items():
+        if v is not None:
+            expr = F.when(cid_col == k, F.lit(v)).otherwise(expr)
+    return expr
+
+
 def basic_output(df: DataFrame, compiled: CompiledSpec,
                  id_cols: Sequence[str] = ("doc_id",),
                  include_annotations: bool = False) -> DataFrame:
@@ -640,6 +702,9 @@ def basic_output(df: DataFrame, compiled: CompiledSpec,
         *id_cols,
         F.lit(False).alias("valid"),
         F.col("keyword_location"),
+        absolute_location_column(
+            compiled, F.col("constraint_id")
+        ).alias("absolute_keyword_location"),
         F.col("instance_path"),
         error_kind_column(F.col("constraint_id"),
                           F.col("keyword_location")).alias("kind"),
@@ -739,6 +804,9 @@ def annotation_units(df: DataFrame, compiled: CompiledSpec,
         *ids,
         F.col("v.valid").alias("valid"),
         F.col("v.keyword_location").alias("keyword_location"),
+        absolute_location_column(
+            compiled, F.col("v.constraint_id")
+        ).alias("absolute_keyword_location"),
         F.col("v.instance_path").alias("instance_path"),
         error_kind_column(F.col("v.constraint_id"),
                           F.col("v.keyword_location")).alias("kind"),
@@ -751,7 +819,9 @@ def annotation_units(df: DataFrame, compiled: CompiledSpec,
 def _render_json(v) -> str:
     import json
 
-    return json.dumps(v, ensure_ascii=False)
+    # compact separators: serde_json's to_string renders '[1,2,3]', not
+    # '[1, 2, 3]' (keywords/mod.rs:406) — byte-parity for enum/const/type
+    return json.dumps(v, ensure_ascii=False, separators=(",", ":"))
 
 
 def message_templates(compiled: CompiledSpec) -> dict:
@@ -798,9 +868,12 @@ def message_templates(compiled: CompiledSpec) -> dict:
         elif kw == "multipleOf":
             t = (None, "", f" is not a multiple of {r(val)}")
         elif kw == "minLength":
-            t = (None, '"', f'" is shorter than {val} characters')
+            # reference pluralizes on the limit (error.rs:907)
+            s = "" if val == 1 else "s"
+            t = (None, '"', f'" is shorter than {val} character{s}')
         elif kw == "maxLength":
-            t = (None, '"', f'" is longer than {val} characters')
+            s = "" if val == 1 else "s"
+            t = (None, '"', f'" is longer than {val} character{s}')
         elif kw == "pattern":
             t = (None, '"', f'" does not match {r(val)}')
         elif kw == "format":

@@ -172,7 +172,8 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
                  resources: dict[str, Any] | None = None,
                  recursion_limit: int = 3,
                  _dyn: dict[str, Any] | None = None,
-                 _dyn_depth: int = 0) -> Any:
+                 _dyn_depth: int = 0,
+                 draft: int | None = None) -> Any:
     """Inline every ``$ref`` (local or registered-resource) into a
     self-contained dict.
 
@@ -207,7 +208,23 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
 
     def rec(s, d=depth, dd=_dyn_depth, dyn=None):
         return resolve_refs(s, root, d, resources, recursion_limit,
-                            dyn if dyn is not None else _dyn, dd)
+                            dyn if dyn is not None else _dyn, dd, draft)
+
+    def rec_kw(k, v):
+        """Keyword-aware descent: the VALUES of name→schema container
+        keywords are schemas but their KEYS are property names — a property
+        literally named ``$ref`` (official suite: 'property named $ref that
+        is not a reference') must not be interpreted as a reference."""
+        if k in ("enum", "const"):
+            return v
+        if k in ("properties", "patternProperties", "$defs", "definitions",
+                 "dependentSchemas") and isinstance(v, dict):
+            return {name: rec(sub) for name, sub in v.items()}
+        if k == "dependencies" and isinstance(v, dict):
+            return {name: (rec(sub) if isinstance(sub, (dict, bool))
+                           else sub)
+                    for name, sub in v.items()}
+        return rec(v)
 
     if isinstance(schema, dict):
         if "$recursiveRef" in schema or "$dynamicRef" in schema:
@@ -238,7 +255,7 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
             resolved = rec(target, depth + 1, _dyn_depth + 1)
             siblings = {k: v for k, v in schema.items() if k != key}
             extra = {
-                k: rec(v)
+                k: rec_kw(k, v)
                 for k, v in siblings.items()
                 if k not in ("$defs", "definitions", "$id", "$schema",
                              "$recursiveAnchor", "$dynamicAnchor",
@@ -269,12 +286,30 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
                     new_dyn = (_dyn or ()) + (
                         _collect_dynamic_anchors(res),)
             resolved = rec(target, depth + 1, dyn=new_dyn)
-            # Draft 2019+ allows sibling keywords next to $ref: merge them.
+            if isinstance(resolved, dict):
+                # absoluteKeywordLocation provenance (reference
+                # ``output.rs:193-200,242-249``): the pre-inline resource
+                # URI + pointer, so basic-output units can report where a
+                # $ref-crossing keyword REALLY lives.  Innermost ref wins
+                # (setdefault: an outer re-inline must not overwrite the
+                # original provenance recorded on the subtree root).
+                if ref.startswith("#"):
+                    abs_loc = "#" + ref[1:]
+                else:
+                    uri, _, frag = ref.partition("#")
+                    abs_loc = uri + "#" + frag
+                resolved.setdefault("$__abs__", abs_loc)
+            # Sibling keywords next to $ref: drafts 4-7 IGNORE them ($ref
+            # replaces the whole object, reference ``ref_.rs`` legacy
+            # behavior / draft-7 spec §8.3); 2019-09+ (and the merged
+            # dialect) evaluate them conjunctively.
+            if draft in (4, 6, 7):
+                return resolved
             siblings = {k: v for k, v in schema.items() if k != "$ref"}
             if siblings and isinstance(resolved, dict):
                 merged = dict(resolved)
                 extra = {
-                    k: rec(v)
+                    k: rec_kw(k, v)
                     for k, v in siblings.items()
                     if k not in ("$defs", "definitions", "$id", "$schema")
                 }
@@ -283,10 +318,7 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
                     merged = {"allOf": [resolved, extra]}
                 return merged
             return resolved
-        return {
-            k: (v if k in ("enum", "const") else rec(v))
-            for k, v in schema.items()
-        }
+        return {k: rec_kw(k, v) for k, v in schema.items()}
     if isinstance(schema, list):
         return [rec(v) for v in schema]
     return schema

@@ -437,7 +437,7 @@ def validate_doc(schema: dict, data: dict, draft: int | None = None):
 
     global _DRAFT
     _DRAFT = draft if draft is not None else _sniff_draft_uri(schema)
-    schema = resolve_refs(schema)
+    schema = resolve_refs(schema, draft=_DRAFT)
     try:
         raw = _errors(schema, data, (), is_root=True)
     finally:

@@ -73,7 +73,7 @@ def test_reference_style_messages(spark):
             for r in v.iter_errors(bad).collect()}
     assert msgs["doc_id/minLength"] == '"zz" is shorter than 4 characters'
     assert msgs["spans/items/kind/enum"] == (
-        'zzz is not one of ["text", "image"] at span 0')
+        'zzz is not one of ["text","image"] at span 0')
     assert msgs["spans/items/text/minLength"] == (
         '"ab" is shorter than 3 characters at span 0')
     assert msgs["spans/items/offset/minimum"] == (

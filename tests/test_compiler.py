@@ -36,7 +36,12 @@ def test_registered_resource_ref():
         {"properties": {"spans": {"items": {
             "$ref": "https://example.com/pos.json#/properties/offset"}}}},
         resources=resources)
-    assert out["properties"]["spans"]["items"] == {"minimum": 0}
+    got = dict(out["properties"]["spans"]["items"])
+    # $__abs__ records the pre-inline resource pointer for
+    # absoluteKeywordLocation units (round 4)
+    assert got.pop("$__abs__") == (
+        "https://example.com/pos.json#/properties/offset")
+    assert got == {"minimum": 0}
 
 
 def test_dollar_id_defs_as_resources():
@@ -396,6 +401,23 @@ def test_local_pointer_ref_into_embedded_id_resource_pushes_scope():
         {"$defs": {"inner": root["$defs"]["inner"]}, "$ref": "urn:inner"},
         recursion_limit=1)
     assert via_uri["properties"]["text"].get("minLength") == 5, via_uri
+
+
+def test_absolute_keyword_location_records_innermost_ref_target():
+    """Units for $ref-crossing keywords carry the pre-inline resource
+    pointer (reference output.rs:193-200); nested refs resolve to the
+    INNERMOST target; ref-free keywords stay None."""
+    from jsonschema_rs_spark.plans.validate import absolute_locations
+
+    spec = {
+        "$defs": {"s": {"$ref": "#/$defs/t"}, "t": {"minLength": 4}},
+        "properties": {"doc_id": {"$ref": "#/$defs/s"}},
+        "required": ["doc_id"],
+    }
+    c = compile_spec(spec, SPAN_TABLE_SCHEMA)
+    abs_map = absolute_locations(c)
+    assert abs_map["doc_id/minLength"] == "#/$defs/t/minLength", abs_map
+    assert abs_map.get("required/doc_id") is None, abs_map
 
 
 def test_nested_id_resource_anchor_not_leaked_into_parent_scope():

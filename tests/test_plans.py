@@ -150,6 +150,32 @@ def test_annotation_units_cover_both_polarities(spark, tmp_path):
     assert sample and all(r["message"] is None for r in sample)
 
 
+def test_simhash_buckets_uses_codegen_agg_not_interpreted_hof(spark):
+    """The public blocking API rides the exploded whole-stage-codegen
+    ``simhash_table`` agg (round-4 VERDICT #5) — no interpreted
+    ``aggregate``/``transform`` HOF lambda may appear in its plan."""
+    from jsonschema_rs_spark.operators.dedup import simhash_buckets
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _physical(simhash_buckets(docs, "doc_id", "text"))
+    assert "lambdafunction" not in plan.lower(), plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_ngram_jaccard_relative_cap_builds_without_spark_job(spark):
+    """Relative df_cap resolves inside the job (round-4 VERDICT #6):
+    BUILDING the frame must trigger no Spark job."""
+    from jsonschema_rs_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    frame = ngram_jaccard_pairs(docs, "doc_id", "text", df_cap=0.01)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "plan build triggered a Spark job"
+    assert frame.columns == ["id_a", "id_b", "inter", "jaccard"]
+
+
 def test_iceberg_read_path_plan_construction(spark):
     """The CLI's --format iceberg branch builds `spark.read.format("iceberg")
     .load(path)`; without the iceberg runtime jars (not in this sandbox)

@@ -1,0 +1,476 @@
+"""Official JSON-Schema-Test-Suite replay (typed-representable subset).
+
+The reference's gold standard is a wholesale replay of the public suite —
+one generated test per case across five drafts
+(``crates/jsonschema/tests/suite.rs:7-116``).  This harness replays the
+authored subset under ``tests/suite_corpus/`` (see its README for
+provenance + exclusion rules) through the Spark engine:
+
+* each suite instance is ingested as a TYPED ``value`` column (the typed-
+  table model this engine is built for — instances sharing a Spark type are
+  batched into one DataFrame, one Spark action per (draft, column-type));
+* the case schema ``S`` is wrapped as ``{"properties": {"value": S}}`` with
+  ``$defs``/``definitions`` hoisted so local pointers keep resolving;
+* the engine's ``is_valid`` fast path must reproduce the suite's ``valid``
+  bit for every representable test.
+
+Exclusions are mechanical, each with a named reason (asserted below):
+  R1 null instance (or null member/element): a typed table cannot
+     distinguish JSON null from an absent member — kept only when top-level
+     AND the suite expects valid (absent passes everything, same verdict);
+  R2 heterogeneous arrays / conflicting member types: no single Spark
+     element type exists;
+  R3 integers beyond int64;
+  R4 int→double promotion inside a container under draft-4 ``integer``
+     semantics (would flip the expected verdict);
+  R5 $ref pointers into schema structure (only ``#/$defs/...`` /
+     ``#/definitions/...`` survive the typed wrapper).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, BooleanType, DataType, DoubleType,
+                               LongType, MapType, NullType, StringType,
+                               StructField, StructType)
+
+from jsonschema_rs_spark.compiler import EngineOptions, compile_spec
+from jsonschema_rs_spark.plans.validate import valid_column, validation_frame
+from jsonschema_rs_spark.spec import SpecError
+
+CORPUS = os.path.join(os.path.dirname(__file__), "suite_corpus")
+DRAFT_DIRS = [("draft4", 4), ("draft6", 6), ("draft7", 7),
+              ("draft2019", 2019), ("draft2020", 2020)]
+
+KNOWN_REASONS = {"R1-null", "R2-heterogeneous", "R3-bigint",
+                 "R4-draft4-promotion", "R5-structural-ref"}
+
+
+class Skip(Exception):
+    def __init__(self, reason):
+        self.reason = reason
+        super().__init__(reason)
+
+
+# ------------------------------------------------------------------
+# type inference over JSON instances
+# ------------------------------------------------------------------
+
+def _infer(v) -> DataType:
+    if v is None:
+        return NullType()
+    if isinstance(v, bool):
+        return BooleanType()
+    if isinstance(v, int):
+        if abs(v) >= 2 ** 63:
+            raise Skip("R3-bigint")
+        return LongType()
+    if isinstance(v, float):
+        return DoubleType()
+    if isinstance(v, str):
+        return StringType()
+    if isinstance(v, list):
+        et: DataType = NullType()
+        for e in v:
+            et = _unify(et, _infer(e))
+        return ArrayType(et, True)
+    if isinstance(v, dict):
+        return StructType([StructField(k, _infer(x), True)
+                           for k, x in sorted(v.items())])
+    raise Skip("R2-heterogeneous")
+
+
+def _unify(a: DataType, b: DataType) -> DataType:
+    if isinstance(a, NullType):
+        return b
+    if isinstance(b, NullType):
+        return a
+    if a == b:
+        return a
+    kinds = {type(a), type(b)}
+    if kinds == {LongType, DoubleType}:
+        return DoubleType()
+    if isinstance(a, ArrayType) and isinstance(b, ArrayType):
+        return ArrayType(_unify(a.elementType, b.elementType), True)
+    if isinstance(a, StructType) and isinstance(b, StructType):
+        fields = {f.name: f.dataType for f in a.fields}
+        for f in b.fields:
+            fields[f.name] = (_unify(fields[f.name], f.dataType)
+                              if f.name in fields else f.dataType)
+        return StructType([StructField(k, t, True)
+                           for k, t in sorted(fields.items())])
+    raise Skip("R2-heterogeneous")
+
+
+def _kind(v) -> str:
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "long"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    if isinstance(v, dict):
+        return "object"
+    raise Skip("R2-heterogeneous")
+
+
+def _contains_nested_null(v) -> bool:
+    if isinstance(v, list):
+        return any(e is None or _contains_nested_null(e) for e in v)
+    if isinstance(v, dict):
+        return any(x is None or _contains_nested_null(x)
+                   for x in v.values())
+    return False
+
+
+def _promoted(test_dt: DataType, group_dt: DataType) -> bool:
+    """True when the test's own inference has a Long where the group type
+    has a Double (int literal would be re-typed as float)."""
+    if isinstance(test_dt, LongType) and isinstance(group_dt, DoubleType):
+        return True
+    if isinstance(test_dt, ArrayType) and isinstance(group_dt, ArrayType):
+        return _promoted(test_dt.elementType, group_dt.elementType)
+    if isinstance(test_dt, StructType) and isinstance(group_dt, StructType):
+        g = {f.name: f.dataType for f in group_dt.fields}
+        return any(f.name in g and _promoted(f.dataType, g[f.name])
+                   for f in test_dt.fields)
+    return False
+
+
+def _strip_nulltype(dt: DataType) -> DataType:
+    if isinstance(dt, NullType):
+        return StringType()
+    if isinstance(dt, ArrayType):
+        return ArrayType(_strip_nulltype(dt.elementType), True)
+    if isinstance(dt, StructType):
+        return StructType([StructField(f.name, _strip_nulltype(f.dataType),
+                                       True) for f in dt.fields])
+    return dt
+
+
+# ------------------------------------------------------------------
+# struct-field augmentation: every key the schema can reference must
+# exist in the typed table (the engine rejects unknown fields)
+# ------------------------------------------------------------------
+
+def _same_level_schemas(schema) -> list:
+    """schema + every subschema applied to the SAME instance location."""
+    out = [schema]
+    i = 0
+    while i < len(out):
+        s = out[i]
+        i += 1
+        if not isinstance(s, dict):
+            continue
+        for k in ("allOf", "anyOf", "oneOf"):
+            out.extend(x for x in s.get(k, []) if isinstance(x, dict))
+        for k in ("not", "if", "then", "else"):
+            if isinstance(s.get(k), dict):
+                out.append(s[k])
+        for x in (s.get("dependencies") or {}).values():
+            if isinstance(x, dict):
+                out.append(x)
+        for x in (s.get("dependentSchemas") or {}).values():
+            if isinstance(x, dict):
+                out.append(x)
+    return out
+
+
+def _augment(dt: DataType, schema) -> DataType:
+    if not isinstance(schema, (dict, bool)) or isinstance(schema, bool):
+        return dt
+    level = _same_level_schemas(schema)
+    if isinstance(dt, StructType):
+        key_subs: dict[str, list] = {}
+
+        def note(name, sub=None):
+            key_subs.setdefault(name, [])
+            if isinstance(sub, (dict, bool)):
+                key_subs[name].append(sub)
+
+        for s in level:
+            for name, sub in (s.get("properties") or {}).items():
+                note(name, sub)
+            for name in s.get("required", []):
+                note(name)
+            for name, v in (s.get("dependentRequired") or {}).items():
+                note(name)
+                for r in v:
+                    note(r)
+            for name, v in (s.get("dependencies") or {}).items():
+                note(name)
+                if isinstance(v, list):
+                    for r in v:
+                        note(r)
+            for name in (s.get("dependentSchemas") or {}):
+                note(name)
+        fields = {f.name: f.dataType for f in dt.fields}
+        for name, subs in key_subs.items():
+            ft = fields.get(name, StringType())
+            for sub in subs:
+                ft = _augment(ft, sub)
+            fields[name] = ft
+        return StructType([StructField(k, t, True)
+                           for k, t in sorted(fields.items())])
+    if isinstance(dt, ArrayType):
+        et = dt.elementType
+        for s in level:
+            for k in ("items", "additionalItems", "contains",
+                      "unevaluatedItems"):
+                if isinstance(s.get(k), dict):
+                    et = _augment(et, s[k])
+            for sub in (s.get("prefixItems") or []):
+                if isinstance(sub, dict):
+                    et = _augment(et, sub)
+            if isinstance(s.get("items"), list):
+                for sub in s["items"]:
+                    if isinstance(sub, dict):
+                        et = _augment(et, sub)
+        return ArrayType(et, True)
+    return dt
+
+
+def _coerce(v, dt: DataType):
+    if v is None:
+        return None
+    if isinstance(dt, DoubleType) and isinstance(v, int) \
+            and not isinstance(v, bool):
+        return float(v)
+    if isinstance(dt, ArrayType):
+        return [_coerce(e, dt.elementType) for e in v]
+    if isinstance(dt, StructType):
+        return {f.name: _coerce(v.get(f.name), f.dataType)
+                for f in dt.fields}
+    if isinstance(dt, MapType):
+        return {str(k): (None if x is None else str(x))
+                for k, x in v.items()}
+    return v
+
+
+_NAME_MAPS = ("properties", "patternProperties", "$defs", "definitions",
+              "dependentSchemas", "dependencies")
+
+
+def _refs_ok(schema, names=False) -> bool:
+    """Only defs-pointer refs survive the typed wrapper (R5).  Keys of
+    name→schema containers are property names, never keywords — a property
+    literally named ``$ref`` is fine."""
+    if isinstance(schema, dict):
+        for k, v in schema.items():
+            if names:
+                if not _refs_ok(v):
+                    return False
+            elif k == "$ref":
+                if not (isinstance(v, str) and
+                        (v.startswith("#/definitions/") or
+                         v.startswith("#/$defs/"))):
+                    return False
+            elif k in _NAME_MAPS and isinstance(v, dict):
+                if not _refs_ok(v, names=True):
+                    return False
+            elif not _refs_ok(v):
+                return False
+    elif isinstance(schema, list):
+        return all(_refs_ok(v) for v in schema)
+    return True
+
+
+def _wrap(schema):
+    """``S`` → ``{"properties": {"value": S}}`` with defs hoisted."""
+    if isinstance(schema, bool):
+        return {"properties": {"value": schema}}
+    body = {k: v for k, v in schema.items()
+            if k not in ("$schema", "$defs", "definitions", "$id")}
+    w = {"properties": {"value": body}}
+    for k in ("$defs", "definitions"):
+        if k in schema:
+            w[k] = schema[k]
+    return w
+
+
+# ------------------------------------------------------------------
+# corpus loading + grouping
+# ------------------------------------------------------------------
+
+def _load_draft(draft_dir):
+    """→ (groups, skips): groups maps a dtype signature to
+    {dtype, cases: [(label, wrapped_schema, [(row_id, data, valid, desc)])]}
+    """
+    skips: list[tuple[str, str]] = []  # (reason, label)
+    groups: dict[str, dict] = {}
+    row_id = 0
+    for path in sorted(glob.glob(os.path.join(CORPUS, draft_dir, "*.json"))):
+        fname = os.path.basename(path)
+        with open(path) as f:
+            cases = json.load(f)
+        for c in cases:
+            label = f"{draft_dir}/{fname}::{c['description']}"
+            if not _refs_ok(c["schema"]):
+                skips.extend(("R5-structural-ref",
+                              f"{label}::{t['description']}")
+                             for t in c["tests"])
+                continue
+            wrapped = _wrap(c["schema"])
+            # split tests by top-level kind, then unify within the kind
+            by_kind: dict[str, list] = {}
+            for t in c["tests"]:
+                tl = f"{label}::{t['description']}"
+                data = t["data"]
+                if data is None:
+                    if t["valid"]:
+                        by_kind.setdefault("null", []).append(t)
+                    else:
+                        skips.append(("R1-null", tl))
+                    continue
+                if _contains_nested_null(data):
+                    skips.append(("R1-null", tl))
+                    continue
+                try:
+                    _kind(data)
+                    _infer(data)
+                except Skip as e:
+                    skips.append((e.reason, tl))
+                    continue
+                by_kind.setdefault(_kind(data), []).append(t)
+            null_tests = by_kind.pop("null", [])
+            if null_tests:  # ride along with any group (value stays NULL)
+                tgt = next(iter(by_kind), "string")
+                by_kind.setdefault(tgt, []).extend(null_tests)
+            for kind, tests in by_kind.items():
+                try:
+                    gdt: DataType = NullType()
+                    for t in tests:
+                        if t["data"] is not None:
+                            gdt = _unify(gdt, _infer(t["data"]))
+                    subgroups = [(gdt, tests)]
+                except Skip:
+                    # no single union type for the kind (e.g. uniqueItems
+                    # mixes arrays of ints/strings/objects): fall back to
+                    # one subgroup per exact signature
+                    bysig: dict[str, tuple] = {}
+                    subgroups = []
+                    for t in tests:
+                        try:
+                            dt = (_infer(t["data"])
+                                  if t["data"] is not None else NullType())
+                        except Skip as e:
+                            skips.append((e.reason,
+                                          f"{label}::{t['description']}"))
+                            continue
+                        bysig.setdefault(dt.simpleString(), (dt, []))[1] \
+                            .append(t)
+                    subgroups = [(dt, ts) for dt, ts in bysig.values()]
+                for gdt, sub_tests in subgroups:
+                    kept = []
+                    for t in sub_tests:
+                        tl = f"{label}::{t['description']}"
+                        if (t["data"] is not None
+                                and draft_dir == "draft4"
+                                and '"integer"' in json.dumps(c["schema"])
+                                and _promoted(_infer(t["data"]), gdt)):
+                            skips.append(("R4-draft4-promotion", tl))
+                            continue
+                        kept.append(t)
+                    if not kept:
+                        continue
+                    gdt = _strip_nulltype(_augment(gdt, c["schema"]))
+                    rows = []
+                    for t in kept:
+                        rows.append((row_id, _coerce(t["data"], gdt),
+                                     t["valid"],
+                                     f"{label}::{t['description']}"))
+                        row_id += 1
+                    sig = gdt.simpleString()
+                    g = groups.setdefault(sig, {"dtype": gdt, "cases": []})
+                    g["cases"].append((label, wrapped, rows))
+    return groups, skips
+
+
+# ------------------------------------------------------------------
+# evaluation: one Spark action per (draft, dtype signature)
+# ------------------------------------------------------------------
+
+def _eval_draft(spark, draft_dir, draft_num):
+    groups, skips = _load_draft(draft_dir)
+    failures, n_run = [], 0
+    for sig, g in groups.items():
+        dt = g["dtype"]
+        tbl = StructType([
+            StructField("row_id", LongType(), False),
+            StructField("value", dt, True),
+        ])
+        data = [(rid, val)
+                for (_, _, rows) in g["cases"]
+                for (rid, val, _, _) in rows]
+        df = spark.createDataFrame(data, tbl)
+        root = F.struct(*[F.col(c).alias(c) for c in df.columns])
+        batched, solo = [], []
+        for label, wrapped, rows in g["cases"]:
+            try:
+                compiled = compile_spec(wrapped, tbl,
+                                        EngineOptions(draft=draft_num))
+            except SpecError as e:
+                failures.append(f"{label}: compile failed: {e}")
+                continue
+            (solo if compiled.py_stages else batched).append(
+                (label, compiled, rows))
+        got: dict[int, bool] = {}
+        if batched:
+            sel = df.select(
+                "row_id",
+                *[valid_column(c, root).alias(f"v{j}")
+                  for j, (_, c, _) in enumerate(batched)])
+            out = {r["row_id"]: r for r in sel.collect()}
+            for j, (_, _, rows) in enumerate(batched):
+                for (rid, _, _, _) in rows:
+                    got[rid] = bool(out[rid][f"v{j}"])
+        for label, compiled, rows in solo:
+            ids = {rid for (rid, _, _, _) in rows}
+            vf = validation_frame(
+                df.filter(F.col("row_id").isin(*ids)), compiled,
+                id_cols=("row_id",), mode="verdicts")
+            for r in vf.collect():
+                got[r["row_id"]] = bool(r["valid"])
+        for label, _, rows in g["cases"]:
+            for (rid, _, want, tl) in rows:
+                if rid not in got:
+                    continue
+                n_run += 1
+                if got[rid] != want:
+                    failures.append(
+                        f"{tl}: engine={got[rid]} suite-expects={want}")
+    return n_run, failures, skips
+
+
+@pytest.mark.parametrize("draft_dir,draft_num", DRAFT_DIRS)
+def test_suite_replay(spark, draft_dir, draft_num):
+    n_run, failures, skips = _eval_draft(spark, draft_dir, draft_num)
+    bad_reasons = {r for r, _ in skips} - KNOWN_REASONS
+    assert not bad_reasons, f"unknown skip reasons: {bad_reasons}"
+    assert not failures, (
+        f"{len(failures)} suite mismatches (of {n_run} run):\n"
+        + "\n".join(failures[:40]))
+    # the replay must be substantive, not vacuously skipped
+    assert n_run >= 150, (n_run, len(skips))
+
+
+def test_suite_corpus_size():
+    """The corpus itself must stay ≥200 suite-derived cases."""
+    n_cases = n_tests = 0
+    for ddir, _ in DRAFT_DIRS:
+        for path in glob.glob(os.path.join(CORPUS, ddir, "*.json")):
+            with open(path) as f:
+                cases = json.load(f)
+            n_cases += len(cases)
+            n_tests += sum(len(c["tests"]) for c in cases)
+    assert n_cases >= 200, n_cases
+    assert n_tests >= 700, n_tests

@@ -37,8 +37,8 @@ def child(cores: int, out_path: str) -> None:
             rows = [dict(t["data"]) for t in case["tests"]]
             for r in rows:
                 r.setdefault("part_key", 0)
-            df = spark.createDataFrame(rows, SPAN_TABLE_SCHEMA).repartition(
-                cores)
+            tbl = case.get("columns", SPAN_TABLE_SCHEMA)
+            df = spark.createDataFrame(rows, tbl).repartition(cores)
             compiled = compile_spec(case["schema"], df.schema)
             vf = validation_frame(df, compiled, keep_cols=("part_key",),
                                   mode="both")
