@@ -266,12 +266,22 @@ def q_kw_uneval_map(spark, sf_dir):
 
 
 def q_kw_uneval_items(spark, sf_dir):
-    """unevaluatedItems with CONDITIONAL if/then/else prefix claims
-    (round 3): the claimed prefix length depends on the runtime span count
-    (>= 30 spans claims 30, otherwise 5); unevaluated spans must be kind
-    'text'. One node-level violation row per doc, observed = failing
-    count."""
-    df = derive_spans(spark, sf_dir)
+    """unevaluatedItems with CONDITIONAL if/then/else prefix claims: the
+    claimed prefix length depends on the runtime span count (>= 30 spans
+    claims 30, otherwise 5); unevaluated spans must be kind 'text'.
+    Round 4: one violation row PER FAILING POSITION (doc, constraint,
+    span_index, observed = the element), reference unevaluated_items.rs
+    per-item error semantics.  Spans are narrowed to a null-free
+    (kind, offset) struct so the JSON observed is oracle-deterministic."""
+    df = derive_spans(spark, sf_dir).select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda x: F.struct(x["kind"].alias("kind"),
+                               x["offset"].alias("offset")),
+        ).alias("spans"),
+        "part_key",
+    )
     spec = _span_spec({
         "if": {"minItems": 30},
         "then": {"prefixItems": [True] * 30},
@@ -914,18 +924,12 @@ FROM events WHERE event_id % 4 = 2
         "kw_uneval_items": SPANS_CTE_SQL + """
 SELECT doc_id,
        'spans/unevaluatedItems' AS constraint_id,
-       CAST(NULL AS INTEGER) AS span_index,
-       CAST(bad AS VARCHAR) AS observed
-FROM (
-    SELECT doc_id,
-           sum(CASE WHEN span_index >=
-                        (CASE WHEN cnt >= 30 THEN 30 ELSE 5 END)
-                     AND kind <> 'text' THEN 1 ELSE 0 END) AS bad
-    FROM (SELECT s.*, count(*) OVER (PARTITION BY doc_id) AS cnt
-          FROM spans s) t
-    GROUP BY doc_id
-) agg
-WHERE bad > 0
+       span_index,
+       '{"kind":"' || kind || '","offset":' || "offset" || '}' AS observed
+FROM (SELECT s.*, count(*) OVER (PARTITION BY doc_id) AS cnt
+      FROM spans s) t
+WHERE span_index >= (CASE WHEN cnt >= 30 THEN 30 ELSE 5 END)
+  AND kind <> 'text'
 """,
         "apply_units": SPANS_CTE_SQL + """
 SELECT doc_id,

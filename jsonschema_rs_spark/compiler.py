@@ -145,6 +145,12 @@ class CompiledConstraint:
     py_fn: Optional[Callable] = None
     # introspection only: positional gate folded into pred by tuple forms
     index_gate: Optional[tuple] = None
+    # doc scope only, optional: fn(node) -> array<struct<pos:int,obs:string>>
+    # of FAILING positions — lets a node-level check (conditional
+    # unevaluatedItems, whose claim bounds need the whole array) still emit
+    # one violation row PER POSITION (round 4; reference
+    # ``unevaluated_items.rs`` reports per-item errors)
+    viol_positions: Optional[Callable[..., Column]] = None
     # element scope: the top-level element fields this constraint reads
     # (None = unknown/whole element).  Lets plans project the array down to
     # arrays_zip(touched fields) so nested parquet pruning reaches the scan
@@ -205,6 +211,12 @@ class EngineOptions:
         default_factory=dict)
     custom_media_types: dict[str, Callable[[Column], Column]] = field(
         default_factory=dict)
+    # support-removal toggles: False turns the keyword into a pure
+    # annotation, including the built-ins — the reference's
+    # ``without_content_encoding_support`` / ``without_content_media_type_
+    # support`` (``options.rs:152-258``)
+    content_encoding_support: bool = True
+    content_media_type_support: bool = True
 
 
 # --------------------------------------------------------------------------
@@ -287,6 +299,37 @@ def _obs_str(dt: DataType) -> Callable[[Column], Column]:
 # --------------------------------------------------------------------------
 # keyword lowerings (value-level; each returns pred over the node instance)
 # --------------------------------------------------------------------------
+
+def _bound_pred(v, op: str, dt: DataType) -> Callable[[Column], Column]:
+    """min/max/exclusive bound comparison, EXACT past 2^53.
+
+    The reference compares u64/i64/f64 exactly (``keywords/maximum.rs:
+    48-60``, torture values 2^54±1 at ``:141-145``).  Spark long-vs-long
+    literal comparison is already exact; the lossy case is a FRACTIONAL
+    column against an integer bound beyond 2^53 — Catalyst promotes the
+    long literal to double and the bound itself rounds.  There the compare
+    runs in decimal(38,6) (doubles within ±1 of any >2^53 integer bound are
+    integral, so the cast is exact where it matters), falling back to the
+    double compare far from the bound where decimal would overflow.
+    Integer bounds beyond int64 always take a decimal literal."""
+    exact_int = isinstance(v, int) and not isinstance(v, bool)
+    if exact_int and abs(v) > 2 ** 53 and isinstance(dt, _FRACTIONALS):
+        from decimal import Decimal
+
+        dv, fv = Decimal(v), float(v)
+
+        def pred(x: Column, _op=op, _dv=dv, _fv=fv) -> Column:
+            far = F.abs(x) >= F.lit(1e30)  # decimal(38,6) range guard
+            return F.when(far, getattr(x, _op)(F.lit(_fv))).otherwise(
+                getattr(x.cast("decimal(38,6)"), _op)(F.lit(_dv)))
+
+        return pred
+    if exact_int and abs(v) >= 2 ** 63:
+        from decimal import Decimal
+
+        return lambda x, _op=op, _dv=Decimal(v): getattr(x, _op)(F.lit(_dv))
+    return lambda x, _op=op, _v=v: getattr(x, _op)(F.lit(_v))
+
 
 def _lower_type(value: Any, dt: DataType,
                 draft: int | None = None) -> Callable[[Column], Column]:
@@ -713,7 +756,7 @@ class Lowerer:
                     op = strict_op
                 if _is_numeric(dt):
                     emit(ctx.cid(kw),
-                         self._lift(lambda x, _v=v, _op=op: getattr(x, _op)(F.lit(_v))),
+                         self._lift(_bound_pred(v, op, dt)),
                          self._lift(obs))
         if "multipleOf" in schema:
             emit(ctx.cid("multipleOf"),
@@ -774,7 +817,8 @@ class Lowerer:
             # the reference defaults, ``content_encoding.rs:10-30``) plus
             # registration hooks mirroring ``options.rs:137-258``; unknown
             # names are annotations (as in the reference).
-            if "contentEncoding" in schema:
+            if ("contentEncoding" in schema
+                    and ctx.options.content_encoding_support):
                 enc = schema["contentEncoding"]
                 builder = ctx.options.custom_encodings.get(enc) or (
                     (lambda x: F.try_to_binary(x, F.lit("base64")).isNotNull())
@@ -782,7 +826,8 @@ class Lowerer:
                 if builder is not None:
                     emit(ctx.cid("contentEncoding"), self._lift(builder),
                          self._lift(obs))
-            if "contentMediaType" in schema:
+            if ("contentMediaType" in schema
+                    and ctx.options.content_media_type_support):
                 mt = schema["contentMediaType"]
                 builder = ctx.options.custom_media_types.get(mt) or (
                     (lambda x: self._json_parseable(x))
@@ -887,6 +932,9 @@ class Lowerer:
                 c.observed = (
                     wrap(c.observed) if c.scope == ctx.scope else c.observed
                 )
+                if c.scope == ctx.scope and c.viol_positions is not None:
+                    # absent field → null array → plans coalesce to empty
+                    c.viol_positions = wrap(c.viol_positions)
                 out.append(c)
             valids.append(wrap_pass(lowered.valid))
 
@@ -1157,12 +1205,19 @@ class Lowerer:
             if isinstance(s.get("if"), (dict, bool)):
                 cif = bvalid(s["if"], suffix + ("if",))
                 walk(s["if"], and_(cond, cif), suffix + ("if",))
-                if "then" in s:
-                    walk(s["then"], and_(cond, cif), suffix + ("then",))
-                if "else" in s:
+                # 2020-12: annotations only from subschemas that
+                # SUCCESSFULLY validate — then/else claims gate on the
+                # branch's own validity too (round 4)
+                if isinstance(s.get("then"), (dict, bool)):
+                    gthen = and_(and_(cond, cif),
+                                 bvalid(s["then"], suffix + ("then",)))
+                    walk(s["then"], gthen, suffix + ("then",))
+                if isinstance(s.get("else"), (dict, bool)):
                     def nif(x, *i, _c=cif):
                         return ~F.coalesce(_c(x, *i), F.lit(False))
-                    walk(s["else"], and_(cond, nif), suffix + ("else",))
+                    gelse = and_(cond, and_(
+                        nif, bvalid(s["else"], suffix + ("else",))))
+                    walk(s["else"], gelse, suffix + ("else",))
             for kw in ("anyOf", "oneOf"):
                 for idx, sub in enumerate(s.get(kw, []) or []):
                     bsuf = suffix + (kw, str(idx))
@@ -1183,10 +1238,15 @@ class Lowerer:
         struct path has its own richer variant in ``_claimed_props_cond``):
         calls ``add(branch_schema, cond_fn)`` for if/then/else, anyOf and
         oneOf branches (and dependentSchemas when enabled, additionally
-        gated on key presence), recursing through allOf.  Conds compose
-        the branch's lowered validity over the NODE instance; conditionals
-        nested inside an applied branch are counted unconditionally once
-        the outer branch applies (documented approximation)."""
+        gated on key presence).
+
+        2020-12 grants annotations only from subschemas that SUCCESSFULLY
+        validate, so then/else claims gate on the branch's own validity as
+        well as the if-outcome (round 4; previously if-outcome only), and
+        conditionals NESTED inside an applied branch recurse with the
+        composed gate instead of counting unconditionally.  ``add``
+        receives each branch's UNCONDITIONAL claims only (callers count
+        with ``conditionals=False``); nesting is handled here."""
 
         def and_(a, b):
             if a is None:
@@ -1203,31 +1263,42 @@ class Lowerer:
                 array_key=ctx.array_key, spointer=_sp(ctx) + suffix,
                 stageable=False, options=ctx.options)).valid
 
-        def walk(s, cond, suffix):
+        def walk(s, cond, suffix, branch_root):
             if not isinstance(s, dict):
                 return
+            if branch_root and s is not schema:
+                add(s, cond)
             if isinstance(s.get("if"), (dict, bool)):
                 cif = bvalid(s["if"], suffix + ("if",))
-                add(s["if"], and_(cond, cif))
-                if "then" in s:
-                    add(s["then"], and_(cond, cif))
-                if "else" in s:
+                gif = and_(cond, cif)
+                walk(s["if"], gif, suffix + ("if",), True)
+                if isinstance(s.get("then"), (dict, bool)):
+                    gthen = and_(gif, bvalid(s["then"], suffix + ("then",)))
+                    walk(s["then"], gthen, suffix + ("then",), True)
+                if isinstance(s.get("else"), (dict, bool)):
                     def nif(x, *i, _c=cif):
                         return ~F.coalesce(_c(x, *i), F.lit(False))
-                    add(s["else"], and_(cond, nif))
+                    gelse = and_(cond, and_(
+                        nif, bvalid(s["else"], suffix + ("else",))))
+                    walk(s["else"], gelse, suffix + ("else",), True)
             for kw in ("anyOf", "oneOf"):
                 for idx, sub in enumerate(s.get(kw, []) or []):
-                    add(sub, and_(cond, bvalid(sub, suffix + (kw, str(idx)))))
+                    bsuf = suffix + (kw, str(idx))
+                    walk(sub, and_(cond, bvalid(sub, bsuf)), bsuf, True)
             if dependent_schemas:
                 for k, sub in (s.get("dependentSchemas") or {}).items():
                     def present(x, *i, _k=k):
                         return F.map_contains_key(x, F.lit(_k))
                     bsuf = suffix + ("dependentSchemas", k)
-                    add(sub, and_(cond, and_(present, bvalid(sub, bsuf))))
+                    walk(sub, and_(cond, and_(present, bvalid(sub, bsuf))),
+                         bsuf, True)
             for idx, sub in enumerate(s.get("allOf", []) or []):
-                walk(sub, cond, suffix + ("allOf", str(idx)))
+                # allOf children's direct claims are already inside the
+                # parent's unconditional count — recurse for NESTED
+                # conditionals only
+                walk(sub, cond, suffix + ("allOf", str(idx)), False)
 
-        walk(schema, None, ())
+        walk(schema, None, (), False)
 
     def _claimed_items_cond(self, schema, ctx: _Ctx):
         """Conditional claim sources for unevaluatedItems on this ARRAY
@@ -1238,7 +1309,9 @@ class Lowerer:
         out: list = []
 
         def add(s, cond):
-            nb, ab = _claimed_positions(s)
+            # the branch's UNCONDITIONAL claims only — nested conditionals
+            # recurse in _walk_branch_claims with composed gates
+            nb, ab = _claimed_positions(s, conditionals=False)
             if nb or ab:
                 out.append((cond, nb, ab))
 
@@ -1254,7 +1327,7 @@ class Lowerer:
         out: list = []
 
         def add(s, cond):
-            nm, ps, allc = _claimed_props(s)
+            nm, ps, allc = _claimed_props(s, conditionals=False)
             jps = []
             for p in ps:
                 jp = ecma_to_java(p)
@@ -1651,6 +1724,42 @@ class Lowerer:
                      self._lift(lambda x: F.size(
                          F.filter(_cells(x), lambda b: ~b)).cast("string")))
 
+                # per-position violation rows (round 4): same gated cell
+                # math, emitting (pos, observed) structs for FAILING
+                # positions instead of one node-level count row
+                obs_e = _obs_str(elem_dt)
+
+                def _pos_structs(x, _cont=cont_ok, _ok=ue_ok, _obs=obs_e):
+                    n_col, all_col = _bounds(x)
+                    bound = F.struct(n_col.alias("n"), all_col.alias("a"))
+
+                    def cell(b, e, i):
+                        claimed = b.getField("a") | (i < b.getField("n"))
+                        if _cont is not None:
+                            claimed = claimed | F.coalesce(
+                                _cont(e), F.lit(False))
+                        return claimed | F.coalesce(_ok(e), F.lit(True))
+
+                    structs = F.element_at(
+                        F.transform(
+                            F.array(bound),
+                            lambda b: F.transform(
+                                x,
+                                lambda e, i: F.when(
+                                    ~cell(b, e, i),
+                                    F.struct(
+                                        i.cast("int").alias("pos"),
+                                        _obs(e).cast("string").alias("obs"),
+                                    ),
+                                ),
+                            ),
+                        ),
+                        1,
+                    )
+                    return F.filter(structs, lambda v: v.isNotNull())
+
+                out[-1].viol_positions = self._lift(_pos_structs)
+
     def _lower_element_valid(self, sub, elem_dt, ctx: _Ctx, suffix) -> Callable:
         lowered = self.lower(sub, _Ctx(
             dtype=elem_dt, path=ctx.path + suffix, scope=ctx.scope,
@@ -1848,6 +1957,9 @@ class Lowerer:
                 if same:
                     for c in lowered.constraints:
                         prev = c.pred
+                        # the gated pred can't gate a per-position row
+                        # builder — fall back to the node-level row
+                        c.viol_positions = None
                         c.pred = (lambda *a, _p=prev:
                                   ~gated_c(cond(*a), *a) | F.coalesce(_p(*a), F.lit(True)))
                         # the gated pred now also reads the if-condition's

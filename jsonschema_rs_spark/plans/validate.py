@@ -111,6 +111,21 @@ def violations_column(compiled: CompiledSpec, root: Column) -> Column:
     for c in compiled.constraints:
         if c.scope != "doc":
             continue
+        if c.viol_positions is not None:
+            # node-level check with per-position attribution (conditional
+            # unevaluatedItems): one row per failing position.  NB the
+            # transform lambda must stay single-arg — pyspark dispatches
+            # on arity, and a default arg would bind the INDEX column.
+            def _mk_pos(cid):
+                return lambda p: _viol_struct(
+                    cid, p.getField("pos"), p.getField("obs"))
+
+            parts.append(F.coalesce(
+                F.transform(c.viol_positions(root),
+                            _mk_pos(c.constraint_id)),
+                F.expr("array()").cast(_EMPTY_VIOLS),
+            ))
+            continue
         ok = F.coalesce(c.pred(root), F.lit(True))
         parts.append(
             F.when(
@@ -405,6 +420,8 @@ def violations(df: DataFrame, compiled: CompiledSpec,
     ids = [F.col(c) for c in id_cols]
 
     doc_cs = [c for c in compiled.constraints if c.scope == "doc"]
+    doc_plain = [c for c in doc_cs if c.viol_positions is None]
+    doc_pos = [c for c in doc_cs if c.viol_positions is not None]
     by_array: dict[tuple, list] = {}
     for c in compiled.constraints:
         if c.scope == "element":
@@ -421,8 +438,40 @@ def violations(df: DataFrame, compiled: CompiledSpec,
                 ~F.coalesce(c.pred(root_col), F.lit(True)),
                 _mk_cell(c, F.lit(None).cast("int"), c.observed(root_col)),
             )
-            for c in doc_cs
+            for c in doc_plain
         ]
+
+    _EMPTY_POS = "array<struct<pos:int,obs:string>>"
+
+    def pos_cell_arrays(root_col: Column) -> list[Column]:
+        """One array of per-position cells per positional doc constraint
+        (conditional unevaluatedItems — round 4)."""
+        out = []
+        def _mk_pos(c_, base_):
+            # single-arg lambda: pyspark transform dispatches on arity
+            def mk(p):
+                si = p.getField("pos")
+                if include_locations:
+                    return F.struct(
+                        F.lit(c_.constraint_id).alias("constraint_id"),
+                        si.cast("int").alias("span_index"),
+                        p.getField("obs").cast("string").alias("observed"),
+                        F.concat(F.lit(base_ + "/"),
+                                 si.cast("string")).alias("instance_path"),
+                        F.lit(c_.schema_path).alias("keyword_location"),
+                    )
+                return _viol_struct(c_.constraint_id, si, p.getField("obs"))
+
+            return mk
+
+        for c in doc_pos:
+            base = "".join("/" + _esc_ptr(s) for s in c.instance_fields)
+            out.append(F.transform(
+                F.coalesce(c.viol_positions(root_col),
+                           F.expr("array()").cast(_EMPTY_POS)),
+                _mk_pos(c, base),
+            ))
+        return out
 
     branches: list[DataFrame] = []
     array_keys = list(by_array)
@@ -450,16 +499,24 @@ def violations(df: DataFrame, compiled: CompiledSpec,
         for c in group:
             span_any = span_any | ~F.coalesce(c.pred(x, i), F.lit(True))
         keep = i.isNotNull() & span_any
+        stack_arr = F.array(*cells)
         if n == 0 and doc_cs:
             first = i.isNull() | (i == 0)
-            cells += [F.when(first, cell) for cell in doc_cells(F.col("_root"))]
+            dcells = [F.when(first, cell)
+                      for cell in doc_cells(F.col("_root"))]
+            stack_arr = F.array(*cells, *dcells)
+            for pa in pos_cell_arrays(F.col("_root")):
+                stack_arr = F.concat(
+                    stack_arr,
+                    F.when(first, pa).otherwise(
+                        F.filter(pa, lambda _: F.lit(False))))
             doc_any = F.lit(False)
             for c in doc_cs:
                 doc_any = doc_any | ~F.coalesce(
                     c.pred(F.col("_root")), F.lit(True))
             keep = keep | (first & doc_any)
         stacked = ex.filter(keep).select(
-            *ids, F.explode(F.array(*cells)).alias("v")
+            *ids, F.explode(stack_arr).alias("v")
         ).filter(F.col("v").isNotNull())
         branches.append(stacked)
 
@@ -480,9 +537,11 @@ def violations(df: DataFrame, compiled: CompiledSpec,
         doc_any = F.lit(False)
         for c in doc_cs:
             doc_any = doc_any | ~F.coalesce(c.pred(root), F.lit(True))
+        vs = F.array(*doc_cells(root)) if doc_plain else None
+        for pa in pos_cell_arrays(root):
+            vs = pa if vs is None else F.concat(vs, pa)
         stacked = (
-            df.select(*ids, doc_any.alias("_any"),
-                      F.array(*doc_cells(root)).alias("_vs"))
+            df.select(*ids, doc_any.alias("_any"), vs.alias("_vs"))
             .filter(F.col("_any"))
             .select(*[F.col(c) for c in id_cols],
                     F.explode(F.col("_vs")).alias("v"))
@@ -513,6 +572,12 @@ def violation_count_column(compiled: CompiledSpec, root: Column) -> Column:
     cnt = F.lit(0)
     for c in compiled.constraints:
         if c.scope != "doc":
+            continue
+        if c.viol_positions is not None:
+            # per-position rows (round 4): the count is the number of
+            # failing positions, matching the violations plan's row count
+            cnt = cnt + F.coalesce(
+                F.size(c.viol_positions(root)), F.lit(0))
             continue
         cnt = cnt + (~F.coalesce(c.pred(root), F.lit(True))).cast("int")
     by_array: dict[tuple, list] = {}

@@ -248,46 +248,54 @@ def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list
                             out.extend(_tag_index(_errors(
                                 sval, v, path + ("unevaluatedItems",)), i))
                 else:
-                    # conditional claims gate on runtime branch validity
-                    # (mirrors the engine's _claimed_items_cond: one
-                    # node-level check, observed = failing count)
+                    # conditional claims gate on runtime branch validity;
+                    # 2020-12 grants annotations only from SUCCESSFULLY
+                    # validating subschemas, so then/else claims also
+                    # require the branch itself to validate, and nested
+                    # conditionals recurse under the composed gate
+                    # (round 4 — mirrors _walk_branch_claims)
                     n_rt, all_rt = n_st, False
 
                     def _apply(s):
                         nonlocal n_rt, all_rt
-                        nb, ab = _claimed_positions(s)
+                        nb, ab = _claimed_positions(s, conditionals=False)
                         n_rt = max(n_rt, nb)
                         all_rt = all_rt or ab
 
-                    def _walk(s):
+                    def _walk(s, branch_root):
                         if not isinstance(s, dict):
                             return
+                        if branch_root and s is not schema:
+                            _apply(s)
                         if isinstance(s.get("if"), (dict, bool)):
                             if _is_valid(s["if"], value):
-                                _apply(s["if"])
-                                if "then" in s:
-                                    _apply(s["then"])
-                            elif "else" in s:
-                                _apply(s["else"])
+                                _walk(s["if"], True)
+                                if (isinstance(s.get("then"), (dict, bool))
+                                        and _is_valid(s["then"], value)):
+                                    _walk(s["then"], True)
+                            elif (isinstance(s.get("else"), (dict, bool))
+                                    and _is_valid(s["else"], value)):
+                                _walk(s["else"], True)
                         for kw2 in ("anyOf", "oneOf"):
                             for sub in s.get(kw2, []) or []:
-                                if _is_valid(sub, value):
-                                    _apply(sub)
+                                if isinstance(sub, (dict, bool)) \
+                                        and _is_valid(sub, value):
+                                    _walk(sub, True)
                         for sub in s.get("allOf", []) or []:
-                            _walk(sub)
+                            _walk(sub, False)
 
-                    _walk(schema)
+                    _walk(schema, False)
                     if not all_rt:
-                        # 2020-12: contains claims the items it matches
-                        bad = sum(
-                            1 for i, v in enumerate(value)
-                            if i >= n_rt
-                            and not (has_contains
-                                     and _is_valid(schema["contains"], v))
-                            and not _is_valid(sval, v))
-                        if bad:
-                            out.append(
-                                (path + ("unevaluatedItems",), bad))
+                        # per-position rows (round 4); 2020-12: contains
+                        # claims the items it matches
+                        for i, v in enumerate(value):
+                            if (i >= n_rt
+                                    and not (has_contains and _is_valid(
+                                        schema["contains"], v))
+                                    and not _is_valid(sval, v)):
+                                out.append(
+                                    (path + ("unevaluatedItems",),
+                                     _obs(v), i))
         elif kw == "contentEncoding":
             if sval == "base64" and isinstance(value, str):
                 # java.util.Base64 semantics (what Spark's try_to_binary

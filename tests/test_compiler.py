@@ -403,6 +403,34 @@ def test_local_pointer_ref_into_embedded_id_resource_pushes_scope():
     assert via_uri["properties"]["text"].get("minLength") == 5, via_uri
 
 
+def test_exact_integer_bounds_past_2_pow_53(spark):
+    """Reference compares bounds exactly past 2^53 (maximum.rs:48-60,
+    torture values 2^54±1 at :141-145); a double-coerced bound silently
+    rounds.  2.0^54 must FAIL maximum=2^54-1 AND minimum=2^54+1."""
+    from jsonschema_rs_spark.plans.validate import validation_frame
+
+    df = spark.createDataFrame(
+        [("d1", float(2 ** 54)), ("d2", 10.5), ("d3", 1e300)],
+        "doc_id string, x double")
+
+    def verdicts_for(spec):
+        c = compile_spec({"properties": {"x": spec}}, df.schema)
+        return {r["doc_id"]: r["valid"] for r in validation_frame(
+            df, c, mode="verdicts").collect()}
+
+    got = verdicts_for({"maximum": 2 ** 54 - 1})
+    assert got == {"d1": False, "d2": True, "d3": False}, got
+    got = verdicts_for({"minimum": 2 ** 54 + 1})
+    assert got == {"d1": False, "d2": False, "d3": True}, got
+
+    # integer bound beyond int64: decimal literal, no crash, exact
+    dl = spark.createDataFrame([("a", 2 ** 62)], "doc_id string, x long")
+    c = compile_spec({"properties": {"x": {"minimum": 2 ** 64}}}, dl.schema)
+    got = {r["doc_id"]: r["valid"] for r in validation_frame(
+        dl, c, mode="verdicts").collect()}
+    assert got == {"a": False}, got
+
+
 def test_absolute_keyword_location_records_innermost_ref_target():
     """Units for $ref-crossing keywords carry the pre-inline resource
     pointer (reference output.rs:193-200); nested refs resolve to the

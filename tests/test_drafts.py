@@ -81,6 +81,20 @@ def test_unknown_dialect_uri_rejected():
                      SPAN_TABLE_SCHEMA)
 
 
+def test_content_support_removal_toggles():
+    """without_content_*_support analogues (reference options.rs:152-258):
+    False removes the builtin check entirely — the keyword annotates."""
+    spec = {"properties": {"doc_id": {
+        "contentEncoding": "base64",
+        "contentMediaType": "application/json"}}}
+    on = compile_spec(spec, SPAN_TABLE_SCHEMA)
+    assert any("contentEncoding" in c.constraint_id for c in on.constraints)
+    assert any("contentMediaType" in c.constraint_id for c in on.constraints)
+    off = compile_spec(spec, SPAN_TABLE_SCHEMA, EngineOptions(
+        content_encoding_support=False, content_media_type_support=False))
+    assert not any("content" in c.constraint_id for c in off.constraints)
+
+
 def test_no_schema_key_keeps_merged_dialect():
     """Backwards compatible: no $schema -> merged dialect, formats assert."""
     c = compile_spec({"properties": {"doc_id": {"format": "uuid"}}},
