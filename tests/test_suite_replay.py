@@ -472,5 +472,5 @@ def test_suite_corpus_size():
                 cases = json.load(f)
             n_cases += len(cases)
             n_tests += sum(len(c["tests"]) for c in cases)
-    assert n_cases >= 200, n_cases
-    assert n_tests >= 700, n_tests
+    assert n_cases >= 400, n_cases
+    assert n_tests >= 1200, n_tests
