@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jsonschema_rs_spark.compiler import compile_spec
+from jsonschema_rs_spark.compiler import EngineOptions, compile_spec
 from jsonschema_rs_spark.flagship import flagship_violations, flagship_rollup
 from jsonschema_rs_spark.plans.validate import violations
 from jsonschema_rs_spark.sources.spans import SPANS_CTE_SQL, derive_spans, flat_spans
@@ -216,6 +216,47 @@ def q_kw_draft4_integer(spark, sf_dir):
             ev.schema),
         id_cols=("event_id",)).withColumn("draft", F.lit(7))
     return v4.unionByName(v7)
+
+
+def q_kw_struct_addl(spark, sf_dir):
+    """additionalProperties on a TYPED STRUCT (round 4): fields outside
+    properties/patternProperties are presence-gated — 'false' rejects a
+    present extra member (reference additional_properties.rs:79-864; was a
+    closed-world no-op before the suite replay exposed it)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.struct(
+            (F.col("event_id") % 7).cast("int").alias("k"),
+            F.when(F.col("event_id") % 3 == 0,
+                   (F.col("event_id") % 100).cast("int")).alias("extra"),
+        ).alias("cfg"),
+    )
+    spec = {"properties": {"cfg": {
+        "properties": {"k": {"minimum": 0}},
+        "additionalProperties": False}}}
+    return violations(ev, compile_spec(spec, ev.schema),
+                      id_cols=("event_id",))
+
+
+def q_kw_ref_siblings(spark, sf_dir):
+    """$ref sibling keywords are draft-dependent (round 4): drafts 4-7
+    REPLACE (siblings ignored, draft-7 spec §8.3) while 2019-09+ evaluates
+    them conjunctively (allOf merge) — the union makes both semantics
+    value-visible to the oracle."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.sequence(F.lit(1),
+                   (F.col("event_id") % 4 + 1).cast("int")).alias("arr"),
+    )
+    body = {"definitions": {"reffed": {"maxItems": 2}},
+            "properties": {"arr": {"$ref": "#/definitions/reffed",
+                                   "minItems": 4}}}
+    v7 = violations(ev, compile_spec(body, ev.schema, EngineOptions(
+        draft=7)), id_cols=("event_id",)).withColumn("draft", F.lit(7))
+    v19 = violations(ev, compile_spec(body, ev.schema, EngineOptions(
+        draft=2019)), id_cols=("event_id",)).withColumn(
+        "draft", F.lit(2019))
+    return v7.unionByName(v19)
 
 
 def q_kw_map_deps(spark, sf_dir):
@@ -632,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_logic": q_kw_logic,
         "kw_bounds": q_kw_bounds,
         "kw_draft4_integer": q_kw_draft4_integer,
+        "kw_struct_addl": q_kw_struct_addl,
+        "kw_ref_siblings": q_kw_ref_siblings,
         "kw_map_deps": q_kw_map_deps,
         "kw_uneval_map": q_kw_uneval_map,
         "kw_uneval_items": q_kw_uneval_items,
@@ -813,6 +856,29 @@ SELECT event_id, 'ratio/type' AS constraint_id,
        CAST(NULL AS INTEGER) AS span_index,
        CAST(ratio AS VARCHAR) AS observed, 7 AS draft
 FROM ev WHERE ratio <> floor(ratio)
+""",
+        "kw_struct_addl": """
+SELECT event_id, 'cfg/additionalProperties/extra' AS constraint_id,
+       CAST(NULL AS INTEGER) AS span_index,
+       CAST(event_id % 100 AS VARCHAR) AS observed
+FROM events WHERE event_id % 3 = 0
+""",
+        "kw_ref_siblings": """
+WITH ev AS (SELECT event_id, event_id % 4 + 1 AS n FROM events)
+SELECT event_id, 'arr/maxItems' AS constraint_id,
+       CAST(NULL AS INTEGER) AS span_index,
+       CAST(n AS VARCHAR) AS observed, 7 AS draft
+FROM ev WHERE n > 2
+UNION ALL
+SELECT event_id, 'arr/allOf/0/maxItems' AS constraint_id,
+       CAST(NULL AS INTEGER) AS span_index,
+       CAST(n AS VARCHAR) AS observed, 2019 AS draft
+FROM ev WHERE n > 2
+UNION ALL
+SELECT event_id, 'arr/allOf/1/minItems' AS constraint_id,
+       CAST(NULL AS INTEGER) AS span_index,
+       CAST(n AS VARCHAR) AS observed, 2019 AS draft
+FROM ev WHERE n < 4
 """,
         "kw_format_date": """
 SELECT event_id, 'd/format' AS constraint_id,
