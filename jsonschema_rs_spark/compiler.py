@@ -211,12 +211,15 @@ class EngineOptions:
         default_factory=dict)
     custom_media_types: dict[str, Callable[[Column], Column]] = field(
         default_factory=dict)
-    # support-removal toggles: False turns the keyword into a pure
-    # annotation, including the built-ins — the reference's
-    # ``without_content_encoding_support`` / ``without_content_media_type_
-    # support`` (``options.rs:152-258``)
-    content_encoding_support: bool = True
-    content_media_type_support: bool = True
+    # support-removal toggles — the reference's per-name
+    # ``without_content_encoding_support("base64")`` /
+    # ``without_content_media_type_support("application/json")``
+    # (``options.rs:152-258``).  True = all supported (default), False =
+    # keyword is pure annotation, a collection of names = those specific
+    # encodings/media types are removed (they annotate; others still
+    # assert).
+    content_encoding_support: Any = True
+    content_media_type_support: Any = True
 
 
 # --------------------------------------------------------------------------
@@ -817,8 +820,14 @@ class Lowerer:
             # the reference defaults, ``content_encoding.rs:10-30``) plus
             # registration hooks mirroring ``options.rs:137-258``; unknown
             # names are annotations (as in the reference).
-            if ("contentEncoding" in schema
-                    and ctx.options.content_encoding_support):
+            def _content_on(opt, name) -> bool:
+                if isinstance(opt, bool):
+                    return opt
+                return name not in opt  # collection = removed names
+
+            if ("contentEncoding" in schema and _content_on(
+                    ctx.options.content_encoding_support,
+                    schema["contentEncoding"])):
                 enc = schema["contentEncoding"]
                 builder = ctx.options.custom_encodings.get(enc) or (
                     (lambda x: F.try_to_binary(x, F.lit("base64")).isNotNull())
@@ -826,8 +835,9 @@ class Lowerer:
                 if builder is not None:
                     emit(ctx.cid("contentEncoding"), self._lift(builder),
                          self._lift(obs))
-            if ("contentMediaType" in schema
-                    and ctx.options.content_media_type_support):
+            if ("contentMediaType" in schema and _content_on(
+                    ctx.options.content_media_type_support,
+                    schema["contentMediaType"])):
                 mt = schema["contentMediaType"]
                 builder = ctx.options.custom_media_types.get(mt) or (
                     (lambda x: self._json_parseable(x))

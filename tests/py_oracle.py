@@ -122,6 +122,32 @@ def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list
             if isinstance(value, dict):
                 for name, sub in sval.items():
                     out.extend(_errors(sub, value.get(name), path + (name,)))
+        elif kw == "patternProperties":
+            if isinstance(value, dict):
+                for pat, sub in sval.items():
+                    for name, v in value.items():
+                        if v is not None and re.search(pat, name):
+                            out.extend(_errors(
+                                sub, v,
+                                path + ("patternProperties", pat, name)))
+        elif kw == "additionalProperties":
+            # present members outside properties/patternProperties
+            # (round 4 — mirrors the engine's presence-gated struct path)
+            if isinstance(value, dict) and (sval is False
+                                            or isinstance(sval, dict)):
+                named = set(schema.get("properties", {}) or {})
+                pats = list(schema.get("patternProperties", {}) or {})
+                for name, v in value.items():
+                    if (v is None or name in named
+                            or any(re.search(p, name) for p in pats)):
+                        continue
+                    if sval is False:
+                        out.append(
+                            (path + ("additionalProperties", name),
+                             _obs(v)))
+                    else:
+                        out.extend(_errors(
+                            sval, v, path + ("additionalProperties", name)))
         elif kw == "required":
             if isinstance(value, dict):
                 for name in sval:

@@ -93,6 +93,14 @@ def test_content_support_removal_toggles():
     off = compile_spec(spec, SPAN_TABLE_SCHEMA, EngineOptions(
         content_encoding_support=False, content_media_type_support=False))
     assert not any("content" in c.constraint_id for c in off.constraints)
+    # per-name removal (the reference's actual signature:
+    # without_content_encoding_support("base64"))
+    part = compile_spec(spec, SPAN_TABLE_SCHEMA, EngineOptions(
+        content_encoding_support={"base64"}))
+    assert not any("contentEncoding" in c.constraint_id
+                   for c in part.constraints)
+    assert any("contentMediaType" in c.constraint_id
+               for c in part.constraints)
 
 
 def test_no_schema_key_keeps_merged_dialect():
