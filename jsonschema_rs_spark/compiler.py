@@ -316,13 +316,22 @@ def _bound_pred(v, op: str, dt: DataType) -> Callable[[Column], Column]:
     double compare far from the bound where decimal would overflow.
     Integer bounds beyond int64 always take a decimal literal."""
     exact_int = isinstance(v, int) and not isinstance(v, bool)
-    if exact_int and abs(v) > 2 ** 53 and isinstance(dt, _FRACTIONALS):
+    if exact_int and abs(v) >= 10 ** 37:
+        # beyond what a decimal(38) literal can carry: double compare is
+        # the best available (documented residual; the reference's u64/i64
+        # range tops out at 2^64 anyway)
+        return lambda x, _op=op, _fv=float(v): getattr(x, _op)(F.lit(_fv))
+    if exact_int and abs(v) > 2 ** 53 and isinstance(dt, _FRACTIONALS) \
+            and not (isinstance(dt, DecimalType) and dt.scale == 0):
         from decimal import Decimal
 
         dv, fv = Decimal(v), float(v)
 
         def pred(x: Column, _op=op, _dv=dv, _fv=fv) -> Column:
-            far = F.abs(x) >= F.lit(1e30)  # decimal(38,6) range guard
+            # decimal(38,6) carries 32 integer digits; 1e31 keeps margin.
+            # Past it the double compare is safe: the bound itself is
+            # < 1e31 there is no 'far' value within rounding distance.
+            far = F.abs(x) >= F.lit(1e31)
             return F.when(far, getattr(x, _op)(F.lit(_fv))).otherwise(
                 getattr(x.cast("decimal(38,6)"), _op)(F.lit(_dv)))
 
@@ -355,6 +364,11 @@ def _lower_type(value: Any, dt: DataType,
             return _true if isinstance(dt, BooleanType) else (lambda x: F.lit(False))
         if t == "integer":
             if isinstance(dt, _INTEGRALS):
+                return _true
+            if isinstance(dt, DecimalType) and dt.scale == 0:
+                # scale-0 decimal holds exact integers (the standard Spark
+                # ingestion type for JSON ints beyond int64) — is_i64/is_u64
+                # in the reference's sense, under EVERY draft
                 return _true
             if isinstance(dt, _FRACTIONALS):
                 if draft == 4:
@@ -1093,7 +1107,10 @@ class Lowerer:
             named = set(schema.get("properties", {}) or {})
             matchers = []
             for pat in (schema.get("patternProperties", {}) or {}):
-                matchers.append(driver_regex_matcher(pat))
+                try:
+                    matchers.append(driver_regex_matcher(pat))
+                except ValueError as e:
+                    raise SpecError(str(e))
             extra_fields = [nm for nm in fields
                             if nm not in named
                             and not any(m(nm) for m in matchers)]
@@ -1703,16 +1720,20 @@ class Lowerer:
                                 F.when(a, F.lit(nb)).otherwise(F.lit(0)))
                     return n_col, all_col
 
-                def _cells(x, _ok=ue_ok, _cont=cont_ok):
-                    # bind the branch-validity bounds ONCE as a lambda
-                    # variable (single-element transform — the word_shingles
-                    # trick): referencing _bounds(x) inside the per-element
-                    # lambda would re-validate every branch per element in
-                    # Spark's interpreted HOF path (O(n^2) per row)
+                def _gated_cells(x, mk, _ok=ue_ok, _cont=cont_ok):
+                    """One per-position value via ``mk(ok, e, i)`` under the
+                    SHARED gated claim math — the node-level pred and the
+                    per-position rows must never drift apart.
+
+                    The branch-validity bounds bind ONCE as a lambda
+                    variable (single-element transform — the word_shingles
+                    trick): referencing ``_bounds(x)`` inside the
+                    per-element lambda would re-validate every branch per
+                    element in Spark's interpreted HOF path (O(n²)/row)."""
                     n_col, all_col = _bounds(x)
                     bound = F.struct(n_col.alias("n"), all_col.alias("a"))
 
-                    def cell(b, e, i):
+                    def cell_ok(b, e, i):
                         claimed = b.getField("a") | (i < b.getField("n"))
                         if _cont is not None:  # contains-matched items
                             claimed = claimed | F.coalesce(
@@ -1723,10 +1744,13 @@ class Lowerer:
                         F.transform(
                             F.array(bound),
                             lambda b: F.transform(
-                                x, lambda e, i: cell(b, e, i)),
+                                x, lambda e, i: mk(cell_ok(b, e, i), e, i)),
                         ),
                         1,
                     )
+
+                def _cells(x):
+                    return _gated_cells(x, lambda ok, e, i: ok)
 
                 emit(ctx.cid("unevaluatedItems"),
                      self._lift(lambda x: F.coalesce(
@@ -1739,32 +1763,16 @@ class Lowerer:
                 # positions instead of one node-level count row
                 obs_e = _obs_str(elem_dt)
 
-                def _pos_structs(x, _cont=cont_ok, _ok=ue_ok, _obs=obs_e):
-                    n_col, all_col = _bounds(x)
-                    bound = F.struct(n_col.alias("n"), all_col.alias("a"))
-
-                    def cell(b, e, i):
-                        claimed = b.getField("a") | (i < b.getField("n"))
-                        if _cont is not None:
-                            claimed = claimed | F.coalesce(
-                                _cont(e), F.lit(False))
-                        return claimed | F.coalesce(_ok(e), F.lit(True))
-
-                    structs = F.element_at(
-                        F.transform(
-                            F.array(bound),
-                            lambda b: F.transform(
-                                x,
-                                lambda e, i: F.when(
-                                    ~cell(b, e, i),
-                                    F.struct(
-                                        i.cast("int").alias("pos"),
-                                        _obs(e).cast("string").alias("obs"),
-                                    ),
-                                ),
+                def _pos_structs(x, _obs=obs_e):
+                    structs = _gated_cells(
+                        x,
+                        lambda ok, e, i: F.when(
+                            ~ok,
+                            F.struct(
+                                i.cast("int").alias("pos"),
+                                _obs(e).cast("string").alias("obs"),
                             ),
                         ),
-                        1,
                     )
                     return F.filter(structs, lambda v: v.isNotNull())
 

@@ -69,8 +69,16 @@ _IPV6_BODY = (
     rf"|({_IPV6SEG}:){{1,2}}(:{_IPV6SEG}){{1,5}}"
     rf"|{_IPV6SEG}:(:{_IPV6SEG}){{1,6}}"
     rf"|:((:{_IPV6SEG}){{1,7}}|:)"
-    rf"|::(ffff(:0{{1,4}})?:)?{_IPV4_BODY}"
-    rf"|({_IPV6SEG}:){{1,4}}:{_IPV4_BODY}"
+    # embedded-IPv4 tails: (groups before ::) + (groups after ::) <= 5,
+    # enumerated per before-count so the total-8-group budget stays exact
+    # (Ipv6Addr::from_str accepts e.g. 1:2:3:4:5::6.7.8.9 and
+    # 64::ff9b:1.2.3.4)
+    rf"|::({_IPV6SEG}:){{0,5}}{_IPV4_BODY}"
+    rf"|({_IPV6SEG}:){{1}}:({_IPV6SEG}:){{0,4}}{_IPV4_BODY}"
+    rf"|({_IPV6SEG}:){{2}}:({_IPV6SEG}:){{0,3}}{_IPV4_BODY}"
+    rf"|({_IPV6SEG}:){{3}}:({_IPV6SEG}:){{0,2}}{_IPV4_BODY}"
+    rf"|({_IPV6SEG}:){{4}}:({_IPV6SEG}:){{0,1}}{_IPV4_BODY}"
+    rf"|({_IPV6SEG}:){{5}}:{_IPV4_BODY}"
     rf"|({_IPV6SEG}:){{6}}{_IPV4_BODY}"
 )
 _EMAIL_LITERAL = rf"\[(IPv6:({_IPV6_BODY})|{_IPV4_BODY})\]"

@@ -190,14 +190,15 @@ def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list
                 for i, v in enumerate(value):
                     if i >= skip:
                         out.extend(
-                            _tag_index(_errors(sval, v, path + ("items",)), i))
+                            _tag_index(_elem_errors(sval, v, path + ("items",)), i))
         elif kw == "prefixItems":
             if isinstance(value, list):
                 for i, sub in enumerate(sval):
                     if i < len(value):
                         out.extend(_tag_index(
-                            _errors(sub, value[i],
-                                    path + ("prefixItems", str(i))), i))
+                            _elem_errors(sub, value[i],
+                                         path + ("prefixItems", str(i))),
+                            i))
         elif kw == "allOf":
             for i, sub in enumerate(sval):
                 out.extend(_errors(sub, value, path + ("allOf", str(i))))
@@ -271,7 +272,7 @@ def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list
                     # no conditional sources: static per-position path
                     for i, v in enumerate(value):
                         if i >= n_st:
-                            out.extend(_tag_index(_errors(
+                            out.extend(_tag_index(_elem_errors(
                                 sval, v, path + ("unevaluatedItems",)), i))
                 else:
                     # conditional claims gate on runtime branch validity;
@@ -312,16 +313,25 @@ def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list
 
                     _walk(schema, False)
                     if not all_rt:
-                        # per-position rows (round 4); 2020-12: contains
-                        # claims the items it matches
-                        for i, v in enumerate(value):
-                            if (i >= n_rt
-                                    and not (has_contains and _is_valid(
-                                        schema["contains"], v))
-                                    and not _is_valid(sval, v)):
+                        # 2020-12: contains claims the items it matches
+                        bad_pos = [
+                            (i, v) for i, v in enumerate(value)
+                            if i >= n_rt
+                            and not (has_contains and _is_valid(
+                                schema["contains"], v))
+                            and not _is_valid(sval, v)]
+                        if _ELEM_DEPTH == 0:
+                            # per-position rows (round 4, doc scope)
+                            for i, v in bad_pos:
                                 out.append(
                                     (path + ("unevaluatedItems",),
                                      _obs(v), i))
+                        elif bad_pos:
+                            # nested inside an outer array: the engine's
+                            # element-scope fallback is one node-level
+                            # count row per outer element
+                            out.append((path + ("unevaluatedItems",),
+                                        len(bad_pos)))
         elif kw == "contentEncoding":
             if sval == "base64" and isinstance(value, str):
                 # java.util.Base64 semantics (what Spark's try_to_binary
@@ -371,7 +381,26 @@ def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list
 
 
 def _tag_index(errs: list, i: int) -> list:
-    return [(segs, obs, i) for (segs, obs) in errs]
+    # tolerate already-indexed 3-tuples (per-position rows keep their own
+    # inner index; the outer tag applies to plain 2-tuples only)
+    return [item if len(item) == 3 else (item[0], item[1], i)
+            for item in errs]
+
+
+# >0 while recursing into array ELEMENTS: a conditional-unevaluatedItems
+# node nested inside an outer array mirrors the engine's element-scope
+# fallback (one node-level count row per outer element), while a top-level
+# one emits per-position rows
+_ELEM_DEPTH = 0
+
+
+def _elem_errors(sub, v, path: tuple) -> list:
+    global _ELEM_DEPTH
+    _ELEM_DEPTH += 1
+    try:
+        return _errors(sub, v, path)
+    finally:
+        _ELEM_DEPTH -= 1
 
 
 def _check_format(fmt: str, v: str) -> bool:
@@ -471,8 +500,8 @@ def validate_doc(schema: dict, data: dict, draft: int | None = None):
 
     global _DRAFT
     _DRAFT = draft if draft is not None else _sniff_draft_uri(schema)
-    schema = resolve_refs(schema, draft=_DRAFT)
     try:
+        schema = resolve_refs(schema, draft=_DRAFT)
         raw = _errors(schema, data, (), is_root=True)
     finally:
         _DRAFT = None

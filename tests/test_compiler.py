@@ -430,6 +430,33 @@ def test_exact_integer_bounds_past_2_pow_53(spark):
         dl, c, mode="verdicts").collect()}
     assert got == {"a": False}, got
 
+    # bound in [1e30, 1e32): the decimal path must stay engaged — a 1e30
+    # far-guard would route to the lossy double compare (round-4 review):
+    # double 1e30 ≈ 1.0000000000000000199e30 > 10^30-3, but
+    # float(10^30-3) == 1e30 so the double compare would pass it
+    dd = spark.createDataFrame([("e1", 1e30)], "doc_id string, x double")
+    c = compile_spec({"properties": {"x": {"maximum": 10 ** 30 - 3}}},
+                     dd.schema)
+    assert validation_frame(dd, c, mode="verdicts").collect()[0]["valid"] \
+        is False
+
+
+def test_decimal_scale0_is_integer_under_draft4(spark):
+    """decimal(38,0) holds exact integers — draft-4 'integer' must accept
+    it (it is is_i64/is_u64 in the reference's sense), unlike float/double
+    columns whose values are JSON fractional representations."""
+    from decimal import Decimal
+
+    from jsonschema_rs_spark.plans.validate import validation_frame
+
+    df = spark.createDataFrame([("a", Decimal(2) ** 60)],
+                               "doc_id string, x decimal(38,0)")
+    c = compile_spec(
+        {"$schema": "http://json-schema.org/draft-04/schema#",
+         "properties": {"x": {"type": "integer"}}}, df.schema)
+    assert validation_frame(df, c, mode="verdicts").collect()[0]["valid"] \
+        is True
+
 
 def test_absolute_keyword_location_records_innermost_ref_target():
     """Units for $ref-crossing keywords carry the pre-inline resource
