@@ -112,3 +112,36 @@ def is_valid(schema: Any, df: DataFrame,
 def validate(schema: Any, df: DataFrame,
              id_cols: Sequence[str] = ("doc_id",)) -> None:
     validator_for(schema, df.schema, id_cols=id_cols).validate(df)
+
+
+class _DraftNamespace:
+    """Per-draft shortcut namespace — the analogue of the reference's
+    ``jsonschema::draft4`` / ``draft6`` / ``draft7`` / ``draft201909`` /
+    ``draft202012`` modules (``lib.rs:595-760``): ``new`` / ``is_valid`` /
+    ``options`` pre-pinned to one dialect, overriding any ``$schema``."""
+
+    def __init__(self, draft: int):
+        self.draft = draft
+
+    def options(self, **kwargs) -> EngineOptions:
+        return EngineOptions(draft=self.draft, **kwargs)
+
+    def new(self, schema: Any, table_schema,
+            id_cols: Sequence[str] = ("doc_id",)) -> SparkValidator:
+        return validator_for(schema, table_schema, self.options(),
+                             id_cols=id_cols)
+
+    def validator_for(self, schema: Any, table_schema,
+                      id_cols: Sequence[str] = ("doc_id",)) -> SparkValidator:
+        return self.new(schema, table_schema, id_cols=id_cols)
+
+    def is_valid(self, schema: Any, df: DataFrame,
+                 id_cols: Sequence[str] = ("doc_id",)) -> DataFrame:
+        return self.new(schema, df.schema, id_cols=id_cols).is_valid(df)
+
+
+draft4 = _DraftNamespace(4)
+draft6 = _DraftNamespace(6)
+draft7 = _DraftNamespace(7)
+draft201909 = _DraftNamespace(2019)
+draft202012 = _DraftNamespace(2020)

@@ -93,3 +93,19 @@ def test_required_message_is_static(spark):
     v = validator_for({"required": ["name"]}, bad.schema)
     rows = v.iter_errors(bad).collect()
     assert rows[0]["message"] == '"name" is a required property'
+
+
+def test_draft_namespaces(spark):
+    """Per-draft shortcut namespaces (reference lib.rs:595-760
+    jsonschema::draft4::{new,is_valid,options}) pin the dialect."""
+    from jsonschema_rs_spark.api import draft4, draft7
+
+    df = spark.createDataFrame([("d1", 1.0)], "doc_id string, ratio double")
+    schema = {"properties": {"ratio": {"type": "integer"}}}
+    # draft 4: 1.0 is NOT an integer; draft 7: it is
+    got4 = draft4.is_valid(schema, df).collect()[0]["valid"]
+    got7 = draft7.is_valid(schema, df).collect()[0]["valid"]
+    assert got4 is False and got7 is True, (got4, got7)
+    assert draft4.options().draft == 4
+    v = draft7.new(schema, df.schema)
+    assert v.is_valid(df).collect()[0]["valid"] is True
