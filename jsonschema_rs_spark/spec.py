@@ -23,15 +23,48 @@ class SpecError(ValueError):
     ``compiler.rs:323-335``)."""
 
 
+def _find_anchor(doc: Any, name: str) -> Any | None:
+    """Subschema carrying ``$anchor: name`` (2019-09+) or the
+    location-independent fragment-only ``$id: "#name"`` (drafts 6/7) within
+    ONE schema resource — the walk stops at nested ``$id`` resources (their
+    anchors belong to their own scope, reachable via their URI)."""
+    found = None
+
+    def walk(s, at_root=False):
+        nonlocal found
+        if found is not None:
+            return
+        if isinstance(s, dict):
+            sid = s.get("$id")
+            if not at_root and isinstance(sid, str) \
+                    and not sid.startswith("#"):
+                return  # nested resource boundary
+            if s.get("$anchor") == name or sid == "#" + name:
+                found = s
+                return
+            for v in s.values():
+                walk(v)
+        elif isinstance(s, list):
+            for v in s:
+                walk(v)
+
+    walk(doc, at_root=True)
+    return found
+
+
 def _pointer_get(doc: Any, pointer: str,
                  resources: dict[str, Any] | None = None) -> Any:
     """Resolve a ``$ref`` against ``doc`` or a registered resource.
 
     ``#/...``       — local JSON Pointer.
-    ``uri``/``uri#/ptr`` — looked up in ``resources`` (the analogue of the
-    reference's URI-addressed registry, ``jsonschema-referencing/src/
-    registry.rs:103-261``); resources are supplied up-front on the driver —
-    there is no network retrieval on executors, ever.
+    ``#name``       — plain-name fragment: ``$anchor`` (2019-09+) or a
+                      fragment-only ``$id``/location-independent identifier
+                      (drafts 6/7).
+    ``uri``/``uri#/ptr``/``uri#name`` — looked up in ``resources`` (the
+    analogue of the reference's URI-addressed registry,
+    ``jsonschema-referencing/src/registry.rs:103-261``); resources are
+    supplied up-front on the driver — there is no network retrieval on
+    executors, ever.
     """
     if not pointer.startswith("#"):
         uri, _, frag = pointer.partition("#")
@@ -43,6 +76,14 @@ def _pointer_get(doc: Any, pointer: str,
             "fetch remote resources on the driver and pass them via "
             "resolve_refs(..., resources=...)"
         )
+    frag = pointer[1:]
+    if frag and not frag.startswith("/"):
+        target = _find_anchor(doc, frag)
+        if target is None:
+            raise SpecError(
+                f"unresolvable $ref {pointer!r}: no $anchor or "
+                f"fragment-only $id named {frag!r} in the schema resource")
+        return target
     cur = doc
     for raw in pointer[1:].split("/"):
         if raw == "":
@@ -244,6 +285,11 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
                     anchor = cur.get(_SELF)
             else:
                 anchor = _dyn_lookup(_dyn or (), name)
+            if anchor is None and key == "$dynamicRef":
+                # spec: $dynamicRef's INITIAL resolution is ordinary $ref
+                # resolution — a plain $anchor target (no $dynamicAnchor
+                # bookend) resolves statically
+                anchor = _find_anchor(root, name)
             if anchor is None:
                 raise SpecError(
                     f"unresolvable {key} {frag!r}: no matching "

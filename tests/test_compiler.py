@@ -458,6 +458,39 @@ def test_decimal_scale0_is_integer_under_draft4(spark):
         is True
 
 
+def test_plain_anchor_and_fragment_id_refs():
+    """$ref '#name' resolves $anchor (2019-09+) and fragment-only $id
+    (drafts 6/7 location-independent identifiers); nested $id resources
+    bound the search (round 4 — official suite anchor.json family)."""
+    out = resolve_refs({
+        "$defs": {"A": {"$anchor": "foo", "minimum": 10}},
+        "properties": {"doc_id": {"$ref": "#foo"}},
+    })
+    assert out["properties"]["doc_id"].get("minimum") == 10, out
+
+    out = resolve_refs({
+        "definitions": {"A": {"$id": "#bar", "maxLength": 3}},
+        "properties": {"doc_id": {"$ref": "#bar"}},
+    })
+    assert out["properties"]["doc_id"].get("maxLength") == 3, out
+
+    # anchor inside a nested $id resource is NOT in the parent scope
+    with pytest.raises(SpecError, match="unresolvable"):
+        resolve_refs({
+            "$defs": {"other": {"$id": "urn:o",
+                                "$defs": {"x": {"$anchor": "hidden"}}}},
+            "$ref": "#hidden",
+        })
+
+    # $dynamicRef to a plain $anchor (no $dynamicAnchor bookend) resolves
+    # statically like $ref
+    out = resolve_refs({
+        "$defs": {"A": {"$anchor": "st", "minLength": 2}},
+        "properties": {"doc_id": {"$dynamicRef": "#st"}},
+    })
+    assert out["properties"]["doc_id"].get("minLength") == 2, out
+
+
 def test_absolute_keyword_location_records_innermost_ref_target():
     """Units for $ref-crossing keywords carry the pre-inline resource
     pointer (reference output.rs:193-200); nested refs resolve to the

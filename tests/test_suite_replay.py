@@ -272,7 +272,10 @@ def _refs_ok(schema, names=False) -> bool:
             elif k == "$ref":
                 if not (isinstance(v, str) and
                         (v.startswith("#/definitions/") or
-                         v.startswith("#/$defs/"))):
+                         v.startswith("#/$defs/") or
+                         # plain-name fragment: $anchor / fragment-only $id
+                         (v.startswith("#") and "/" not in v
+                          and len(v) > 1))):
                     return False
             elif k in _NAME_MAPS and isinstance(v, dict):
                 if not _refs_ok(v, names=True):
