@@ -25,9 +25,10 @@ class SpecError(ValueError):
 
 def _find_anchor(doc: Any, name: str) -> Any | None:
     """Subschema carrying ``$anchor: name`` (2019-09+) or the
-    location-independent fragment-only ``$id: "#name"`` (drafts 6/7) within
-    ONE schema resource — the walk stops at nested ``$id`` resources (their
-    anchors belong to their own scope, reachable via their URI)."""
+    location-independent fragment-only ``$id: "#name"`` (drafts 6/7; draft
+    4 spells it ``id``) within ONE schema resource — the walk stops at
+    nested ``$id``/``id`` resources (their anchors belong to their own
+    scope, reachable via their URI)."""
     found = None
 
     def walk(s, at_root=False):
@@ -36,6 +37,8 @@ def _find_anchor(doc: Any, name: str) -> Any | None:
             return
         if isinstance(s, dict):
             sid = s.get("$id")
+            if not isinstance(sid, str):
+                sid = s.get("id") if isinstance(s.get("id"), str) else None
             if not at_root and isinstance(sid, str) \
                     and not sid.startswith("#"):
                 return  # nested resource boundary
