@@ -151,6 +151,10 @@ class CompiledConstraint:
     # one violation row PER POSITION (round 4; reference
     # ``unevaluated_items.rs`` reports per-item errors)
     viol_positions: Optional[Callable[..., Column]] = None
+    # companion both-polarity builder for the annotation-units stream:
+    # fn(node) -> array<struct<pos:int,ok:boolean,obs:string>> over ALL
+    # positions (same gated claim math via _gated_cells)
+    unit_positions: Optional[Callable[..., Column]] = None
     # element scope: the top-level element fields this constraint reads
     # (None = unknown/whole element).  Lets plans project the array down to
     # arrays_zip(touched fields) so nested parquet pruning reaches the scan
@@ -959,6 +963,8 @@ class Lowerer:
                 if c.scope == ctx.scope and c.viol_positions is not None:
                     # absent field → null array → plans coalesce to empty
                     c.viol_positions = wrap(c.viol_positions)
+                if c.scope == ctx.scope and c.unit_positions is not None:
+                    c.unit_positions = wrap(c.unit_positions)
                 out.append(c)
             valids.append(wrap_pass(lowered.valid))
 
@@ -1776,7 +1782,19 @@ class Lowerer:
                     )
                     return F.filter(structs, lambda v: v.isNotNull())
 
+                def _unit_structs(x, _obs=obs_e):
+                    # BOTH-polarity per-position units (annotation stream)
+                    return _gated_cells(
+                        x,
+                        lambda ok, e, i: F.struct(
+                            i.cast("int").alias("pos"),
+                            ok.alias("ok"),
+                            _obs(e).cast("string").alias("obs"),
+                        ),
+                    )
+
                 out[-1].viol_positions = self._lift(_pos_structs)
+                out[-1].unit_positions = self._lift(_unit_structs)
 
     def _lower_element_valid(self, sub, elem_dt, ctx: _Ctx, suffix) -> Callable:
         lowered = self.lower(sub, _Ctx(
@@ -1978,6 +1996,7 @@ class Lowerer:
                         # the gated pred can't gate a per-position row
                         # builder — fall back to the node-level row
                         c.viol_positions = None
+                        c.unit_positions = None
                         c.pred = (lambda *a, _p=prev:
                                   ~gated_c(cond(*a), *a) | F.coalesce(_p(*a), F.lit(True)))
                         # the gated pred now also reads the if-condition's

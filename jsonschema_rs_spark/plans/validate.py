@@ -813,12 +813,46 @@ def annotation_units(df: DataFrame, compiled: CompiledSpec,
             F.lit(c.schema_path).alias("keyword_location"),
         )
 
+    doc_plain = [c for c in doc_cs if c.unit_positions is None]
+    doc_pos = [c for c in doc_cs if c.unit_positions is not None]
+
     def doc_cells(root_col: Column) -> list[Column]:
         return [
             cell(c, F.coalesce(c.pred(root_col), F.lit(True)),
                  F.lit(None).cast("int"), c.observed(root_col))
-            for c in doc_cs
+            for c in doc_plain
         ]
+
+    def pos_unit_arrays(root_col: Column) -> list[Column]:
+        """BOTH-polarity per-position units for conditional
+        unevaluatedItems (round 4) — same _gated_cells claim math as the
+        error paths."""
+        _EMPTY_U = "array<struct<pos:int,ok:boolean,obs:string>>"
+
+        def _mk(c_, base_):
+            def mk(u):  # single-arg: pyspark transform dispatch is arity-based
+                pos = u.getField("pos")
+                return F.struct(
+                    F.lit(c_.constraint_id).alias("constraint_id"),
+                    pos.cast("int").alias("span_index"),
+                    u.getField("ok").alias("valid"),
+                    u.getField("obs").cast("string").alias("observed"),
+                    F.concat(F.lit(base_ + "/"),
+                             pos.cast("string")).alias("instance_path"),
+                    F.lit(c_.schema_path).alias("keyword_location"),
+                )
+
+            return mk
+
+        out = []
+        for c in doc_pos:
+            base = "".join("/" + _esc_ptr(s) for s in c.instance_fields)
+            out.append(F.transform(
+                F.coalesce(c.unit_positions(root_col),
+                           F.expr("array()").cast(_EMPTY_U)),
+                _mk(c, base),
+            ))
+        return out
 
     branches: list[DataFrame] = []
     for n, key in enumerate(by_array):
@@ -838,11 +872,19 @@ def annotation_units(df: DataFrame, compiled: CompiledSpec,
             )
             for c in group
         ]
+        stack_arr = F.array(*cells)
         if n == 0 and doc_cs:
             first = i.isNull() | (i == 0)
-            cells += [F.when(first, dc) for dc in doc_cells(F.col("_root"))]
+            dcells = [F.when(first, dc)
+                      for dc in doc_cells(F.col("_root"))]
+            stack_arr = F.array(*cells, *dcells)
+            for pa in pos_unit_arrays(F.col("_root")):
+                stack_arr = F.concat(
+                    stack_arr,
+                    F.when(first, pa).otherwise(
+                        F.filter(pa, lambda _: F.lit(False))))
         branches.append(
-            ex.select(*ids, F.explode(F.array(*cells)).alias("v"))
+            ex.select(*ids, F.explode(stack_arr).alias("v"))
             .filter(F.col("v").isNotNull())
         )
     if not branches:
@@ -856,8 +898,11 @@ def annotation_units(df: DataFrame, compiled: CompiledSpec,
                 F.lit(None).cast("string").alias("instance_path"),
                 F.lit(None).cast("string").alias("keyword_location"),
             ).limit(0)
+        vs = F.array(*doc_cells(root)) if doc_plain else None
+        for pa in pos_unit_arrays(root):
+            vs = pa if vs is None else F.concat(vs, pa)
         branches = [
-            df.select(*ids, F.array(*doc_cells(root)).alias("_vs"))
+            df.select(*ids, vs.alias("_vs"))
             .select(*[F.col(c) for c in id_cols],
                     F.explode(F.col("_vs")).alias("v"))
             .filter(F.col("v").isNotNull())

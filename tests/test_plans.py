@@ -150,6 +150,33 @@ def test_annotation_units_cover_both_polarities(spark, tmp_path):
     assert sample and all(r["message"] is None for r in sample)
 
 
+def test_annotation_units_per_position_conditional_uneval(spark):
+    """Both-polarity units for conditional unevaluatedItems carry one row
+    PER POSITION with the gated claim math (round 4 — was one node-level
+    unit)."""
+    from jsonschema_rs_spark.plans.validate import basic_output
+
+    df = spark.createDataFrame(
+        [("d1", [{"kind": "text", "offset": 0},
+                 {"kind": "image", "offset": 8}])],
+        "doc_id string, spans array<struct<kind:string,offset:int>>")
+    spec = {"properties": {"spans": {
+        "if": {"minItems": 3},
+        "then": {"prefixItems": [True, True, True]},
+        "else": {"prefixItems": [True]},
+        "unevaluatedItems": {"properties": {"kind": {"const": "text"}}},
+    }}}
+    u = basic_output(df, compile_spec(spec, df.schema),
+                     include_annotations=True)
+    rows = {r["span_index"]: r for r in u.collect()
+            if r["constraint_id"] == "spans/unevaluatedItems"}
+    # else-branch claims position 0; position 1 is unevaluated: image fails
+    assert set(rows) == {0, 1}, rows
+    assert rows[0]["valid"] is True
+    assert rows[1]["valid"] is False
+    assert rows[1]["instance_path"] == "/spans/1"
+
+
 def test_simhash_buckets_uses_codegen_agg_not_interpreted_hof(spark):
     """The public blocking API rides the exploded whole-stage-codegen
     ``simhash_table`` agg (round-4 VERDICT #5) — no interpreted
