@@ -505,11 +505,18 @@ def violations(df: DataFrame, compiled: CompiledSpec,
             dcells = [F.when(first, cell)
                       for cell in doc_cells(F.col("_root"))]
             stack_arr = F.array(*cells, *dcells)
+            # typed empty literal on non-first rows: an
+            # F.filter(pa, false) there would materialize the whole gated
+            # per-position array per row just to discard it
+            cell_t = ("array<struct<constraint_id:string,span_index:int,"
+                      "observed:string"
+                      + (",instance_path:string,keyword_location:string"
+                         if include_locations else "") + ">>")
             for pa in pos_cell_arrays(F.col("_root")):
                 stack_arr = F.concat(
                     stack_arr,
                     F.when(first, pa).otherwise(
-                        F.filter(pa, lambda _: F.lit(False))))
+                        F.expr("array()").cast(cell_t)))
             doc_any = F.lit(False)
             for c in doc_cs:
                 doc_any = doc_any | ~F.coalesce(
@@ -847,11 +854,16 @@ def annotation_units(df: DataFrame, compiled: CompiledSpec,
         out = []
         for c in doc_pos:
             base = "".join("/" + _esc_ptr(s) for s in c.instance_fields)
-            out.append(F.transform(
-                F.coalesce(c.unit_positions(root_col),
-                           F.expr("array()").cast(_EMPTY_U)),
-                _mk(c, base),
-            ))
+            arr = F.coalesce(c.unit_positions(root_col),
+                             F.expr("array()").cast(_EMPTY_U))
+            mapped = F.transform(arr, _mk(c, base))
+            # empty/absent array: keep one node-level unit so the
+            # both-polarity stream stays complete per (doc, keyword)
+            node_unit = F.array(cell(
+                c, F.coalesce(c.pred(root_col), F.lit(True)),
+                F.lit(None).cast("int"), c.observed(root_col)))
+            out.append(F.when(F.size(arr) > 0, mapped)
+                       .otherwise(node_unit))
         return out
 
     branches: list[DataFrame] = []
@@ -878,11 +890,14 @@ def annotation_units(df: DataFrame, compiled: CompiledSpec,
             dcells = [F.when(first, dc)
                       for dc in doc_cells(F.col("_root"))]
             stack_arr = F.array(*cells, *dcells)
+            unit_t = ("array<struct<constraint_id:string,span_index:int,"
+                      "valid:boolean,observed:string,instance_path:string,"
+                      "keyword_location:string>>")
             for pa in pos_unit_arrays(F.col("_root")):
                 stack_arr = F.concat(
                     stack_arr,
                     F.when(first, pa).otherwise(
-                        F.filter(pa, lambda _: F.lit(False))))
+                        F.expr("array()").cast(unit_t)))
         branches.append(
             ex.select(*ids, F.explode(stack_arr).alias("v"))
             .filter(F.col("v").isNotNull())

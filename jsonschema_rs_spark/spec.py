@@ -23,13 +23,17 @@ class SpecError(ValueError):
     ``compiler.rs:323-335``)."""
 
 
-def _find_anchor(doc: Any, name: str) -> Any | None:
+def _find_anchor(doc: Any, name: str,
+                 draft: int | None = None) -> Any | None:
     """Subschema carrying ``$anchor: name`` (2019-09+) or the
     location-independent fragment-only ``$id: "#name"`` (drafts 6/7; draft
-    4 spells it ``id``) within ONE schema resource — the walk stops at
-    nested ``$id``/``id`` resources (their anchors belong to their own
-    scope, reachable via their URI)."""
+    4 spells it ``id`` — only honored there, ``id`` is a plain annotation
+    in later drafts) within ONE schema resource — the walk stops at nested
+    ``$id`` resources (their anchors belong to their own scope, reachable
+    via their URI) and does NOT descend into ``enum``/``const`` DATA (an
+    ``$anchor`` key inside an enum member is not an identifier)."""
     found = None
+    legacy_id = draft in (None, 4)
 
     def walk(s, at_root=False):
         nonlocal found
@@ -37,15 +41,18 @@ def _find_anchor(doc: Any, name: str) -> Any | None:
             return
         if isinstance(s, dict):
             sid = s.get("$id")
-            if not isinstance(sid, str):
-                sid = s.get("id") if isinstance(s.get("id"), str) else None
+            if not isinstance(sid, str) and legacy_id \
+                    and isinstance(s.get("id"), str):
+                sid = s.get("id")
             if not at_root and isinstance(sid, str) \
                     and not sid.startswith("#"):
                 return  # nested resource boundary
             if s.get("$anchor") == name or sid == "#" + name:
                 found = s
                 return
-            for v in s.values():
+            for k, v in s.items():
+                if k in ("enum", "const"):
+                    continue  # data, not schema structure
                 walk(v)
         elif isinstance(s, list):
             for v in s:
@@ -217,7 +224,8 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
                  recursion_limit: int = 3,
                  _dyn: dict[str, Any] | None = None,
                  _dyn_depth: int = 0,
-                 draft: int | None = None) -> Any:
+                 draft: int | None = None,
+                 _res: Any = None) -> Any:
     """Inline every ``$ref`` (local or registered-resource) into a
     self-contained dict.
 
@@ -250,9 +258,10 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
             "bounded for columnar compilation"
         )
 
-    def rec(s, d=depth, dd=_dyn_depth, dyn=None):
+    def rec(s, d=depth, dd=_dyn_depth, dyn=None, res=None):
         return resolve_refs(s, root, d, resources, recursion_limit,
-                            dyn if dyn is not None else _dyn, dd, draft)
+                            dyn if dyn is not None else _dyn, dd, draft,
+                            res if res is not None else _res)
 
     def rec_kw(k, v):
         """Keyword-aware descent: the VALUES of name→schema container
@@ -287,12 +296,19 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
                 else:
                     anchor = cur.get(_SELF)
             else:
-                anchor = _dyn_lookup(_dyn or (), name)
-            if anchor is None and key == "$dynamicRef":
-                # spec: $dynamicRef's INITIAL resolution is ordinary $ref
-                # resolution — a plain $anchor target (no $dynamicAnchor
-                # bookend) resolves statically
-                anchor = _find_anchor(root, name)
+                anchor = None
+                if key == "$dynamicRef":
+                    # 2020-12: the INITIAL resolution is ordinary $ref
+                    # resolution in the CURRENT resource — a plain $anchor
+                    # target (no $dynamicAnchor bookend) resolves
+                    # statically; only a $dynamicAnchor target engages the
+                    # dynamic-scope search
+                    cur_res = _res if _res is not None else root
+                    st = _find_anchor(cur_res, name, draft)
+                    if st is not None and st.get("$dynamicAnchor") != name:
+                        anchor = st
+                if anchor is None:
+                    anchor = _dyn_lookup(_dyn or (), name)
             if anchor is None:
                 raise SpecError(
                     f"unresolvable {key} {frag!r}: no matching "
@@ -318,8 +334,22 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
             return resolved
         if "$ref" in schema:
             ref = schema["$ref"]
-            target = copy.deepcopy(_pointer_get(root, ref, resources))
             new_dyn = _dyn
+            new_res = None
+            if (ref.startswith("#") and len(ref) > 1
+                    and not ref[1:].startswith("/")):
+                # plain-name fragment: resolved in the CURRENT resource
+                # (official suite "base URI change in subschema")
+                cur_res = _res if _res is not None else root
+                t = _find_anchor(cur_res, ref[1:], draft)
+                if t is None:
+                    raise SpecError(
+                        f"unresolvable $ref {ref!r}: no $anchor or "
+                        f"fragment-only $id named {ref[1:]!r} in the "
+                        "current schema resource")
+                target = copy.deepcopy(t)
+            else:
+                target = copy.deepcopy(_pointer_get(root, ref, resources))
             if not ref.startswith("#"):
                 uri = ref.partition("#")[0]
                 if resources and uri in resources:
@@ -327,6 +357,7 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
                     # scope (innermost last; lookups scan outermost-first)
                     new_dyn = (_dyn or ()) + (
                         _collect_dynamic_anchors(resources[uri]),)
+                    new_res = resources[uri]
             else:
                 # a LOCAL pointer that descends into (or lands on) an
                 # embedded $id subschema also enters that resource
@@ -334,7 +365,8 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
                 if res is not None:
                     new_dyn = (_dyn or ()) + (
                         _collect_dynamic_anchors(res),)
-            resolved = rec(target, depth + 1, dyn=new_dyn)
+                    new_res = res
+            resolved = rec(target, depth + 1, dyn=new_dyn, res=new_res)
             if isinstance(resolved, dict):
                 # absoluteKeywordLocation provenance (reference
                 # ``output.rs:193-200,242-249``): the pre-inline resource

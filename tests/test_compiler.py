@@ -491,6 +491,53 @@ def test_plain_anchor_and_fragment_id_refs():
     assert out["properties"]["doc_id"].get("minLength") == 2, out
 
 
+def test_anchor_scoping_rules():
+    """Round-4 review: anchors are schema-structure identifiers scoped to
+    the CURRENT resource — not data, not the outer document."""
+    # $anchor inside enum DATA is not an identifier
+    with pytest.raises(SpecError, match="unresolvable"):
+        resolve_refs({
+            "$defs": {"x": {"enum": [{"$anchor": "foo", "minimum": 99}]}},
+            "properties": {"p": {"$ref": "#foo"}},
+        })
+
+    # '#anchor' inside an entered $id resource resolves in THAT resource,
+    # even when the outer root defines a decoy with the same name
+    out = resolve_refs({
+        "$defs": {
+            "decoy": {"$anchor": "foo", "maximum": 0},
+            "r": {"$id": "urn:r",
+                  "$defs": {"A": {"$anchor": "foo", "minimum": 1}},
+                  "$ref": "#foo"},
+        },
+        "properties": {"p": {"$ref": "urn:r"}},
+    }, resources={"urn:r": {
+        "$id": "urn:r",
+        "$defs": {"A": {"$anchor": "foo", "minimum": 1}},
+        "$ref": "#foo"}})
+    assert out["properties"]["p"].get("minimum") == 1, out
+
+    # 'id' is an annotation, not a resource boundary, in modern drafts
+    out = resolve_refs({
+        "$defs": {"A": {"id": "my-name", "$anchor": "bar", "minimum": 7}},
+        "properties": {"p": {"$ref": "#bar"}},
+    }, draft=2020)
+    assert out["properties"]["p"].get("minimum") == 7, out
+
+    # $dynamicRef whose CURRENT-resource target is a plain $anchor
+    # resolves statically even when an outer $dynamicAnchor shares the
+    # name (2020-12: dynamic behavior needs a $dynamicAnchor bookend)
+    res = {"$id": "urn:s",
+           "$defs": {"A": {"$anchor": "x", "minimum": 1}},
+           "properties": {"q": {"$dynamicRef": "#x"}}}
+    out = resolve_refs({
+        "$dynamicAnchor": "x", "maximum": 0,
+        "properties": {"p": {"$ref": "urn:s"}},
+    }, resources={"urn:s": res})
+    q = out["properties"]["p"]["properties"]["q"]
+    assert q.get("minimum") == 1 and "maximum" not in q, out
+
+
 def test_absolute_keyword_location_records_innermost_ref_target():
     """Units for $ref-crossing keywords carry the pre-inline resource
     pointer (reference output.rs:193-200); nested refs resolve to the
