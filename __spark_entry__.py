@@ -344,6 +344,18 @@ def q_dedup_components(spark, sf_dir):
     return DD.connected_components_min(edges)
 
 
+def q_dedup_keepers(spark, sf_dir):
+    """End-to-end dedup closure (round 4): pairs → connected components →
+    broadcast-anti-join keep-list.  Same deterministic chain edges as
+    dedup_components; the surviving corpus is every doc except non-rep
+    cluster members."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    edges = d.filter(F.col("doc_id") % 10 < 3).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"))
+    return DD.dedup_keepers(d, "doc_id", edges)
+
+
 def q_ds_hash_split(spark, sf_dir):
     """Deterministic md5-bucketed train/val/test splitting (round 3):
     assignment is a pure function of the id — stable across reruns and
@@ -681,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_psi_drift": q_ds_psi_drift,
         "ds_hash_split": q_ds_hash_split,
         "dedup_components": q_dedup_components,
+        "dedup_keepers": q_dedup_keepers,
         "apply_basic": q_apply_basic,
         "apply_units": q_apply_units,
         "ds_stats_bounds": q_ds_stats_bounds,
@@ -976,6 +989,21 @@ reach(id, r) AS (
     SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
 )
 SELECT id, min(r) AS rep FROM reach GROUP BY id
+""",
+        "dedup_keepers": """
+WITH RECURSIVE e AS (
+    SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 < 3
+),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+v AS (SELECT DISTINCT a AS id FROM sym),
+reach(id, r) AS (
+    SELECT id, id FROM v
+    UNION
+    SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+),
+comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
 """,
         "kw_uneval_map": """
 SELECT event_id, 'props3/unevaluatedProperties' AS constraint_id,

@@ -460,3 +460,22 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         .groupBy("id_a", "id_b")
         .agg(F.min("hamming").alias("hamming"))
     )
+
+
+def dedup_keepers(df: DataFrame, id_col: str, pairs: DataFrame,
+                  id_a: str = "id_a", id_b: str = "id_b",
+                  max_iter: int = 20) -> DataFrame:
+    """Corpus with duplicate-cluster members removed: pairs (from any of
+    the pair-emitting ops — minhash/simhash/jaccard/cosine) resolve into
+    clusters via ``connected_components_min`` and only each component's
+    min-id representative survives, alongside every untouched doc.
+
+    Scale shape: the anti-join's build side is the NON-REP member id list
+    — O(duplicates), ids only, explicitly broadcast — so the corpus never
+    shuffles and the whole keep-pass is one broadcast-anti-join over the
+    scan (the closure of the dedup family: candidates → verified pairs →
+    clusters → keep-list)."""
+    comp = connected_components_min(pairs, id_a, id_b, max_iter)
+    drop = comp.filter(F.col("id") != F.col("rep")) \
+               .select(F.col("id").alias(id_col))
+    return df.join(F.broadcast(drop), id_col, "left_anti")

@@ -252,3 +252,17 @@ def test_simhash_pairs_find_planted_at_hamming_zero(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # band dedup is a combinable min-agg over narrow (ids, hamming) rows
     assert "partial_min(hamming" in plan, plan
+
+
+def test_dedup_keepers_removes_chain_members(spark):
+    """pairs -> components -> keep-list: only each component's min id and
+    untouched docs survive (round 4)."""
+    from jsonschema_rs_spark.operators.dedup import dedup_keepers
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)],
+                                  "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in
+                  dedup_keepers(docs, "doc_id", pairs).collect())
+    # component {1,2,3} keeps 1; {7,8} keeps 7
+    assert kept == [0, 1, 4, 5, 6, 7, 9], kept
