@@ -58,10 +58,13 @@ class SparkValidator:
         """Boolean verdict per document id — the fast path.
 
         Defaults to the single-scan codegen 'exploded' strategy (narrow
-        explode → map-side-combined agg; BENCH_r02 driver record: 1.06s vs
-        6.03s 'prefilter' and 4.07s 'hof' on the same 100k-doc input).
-        Pass strategy='hof' for the zero-shuffle per-row variant or
-        'prefilter' for the violations-derived join."""
+        explode → map-side-combined agg; BENCH_r04 driver record: 1.85s vs
+        2.80s 'prefilter' and 4.84s 'hof' on the same 100k-doc input, and
+        'exploded' has won every recorded comparison since r02).  The
+        other strategies are DOMINATED and kept only as opt-in fallbacks:
+        'hof' (zero-shuffle, interpreted higher-order functions — ~2.6×
+        slower) and 'prefilter' (violations-derived join — ~1.5× slower,
+        emits a UserWarning at the plan layer)."""
         if strategy == "hof":
             return validation_frame(df, self.compiled, self.id_cols,
                                     mode="verdicts")

@@ -325,6 +325,15 @@ def _bound_pred(v, op: str, dt: DataType) -> Callable[[Column], Column]:
         # the best available (documented residual; the reference's u64/i64
         # range tops out at 2^64 anyway)
         return lambda x, _op=op, _fv=float(v): getattr(x, _op)(F.lit(_fv))
+    if exact_int and abs(v) >= 10 ** 31 and isinstance(dt, _FRACTIONALS) \
+            and not (isinstance(dt, DecimalType) and dt.scale == 0):
+        # beyond decimal(38,6)'s 32 integer digits the NEAR-bound compare
+        # can no longer run in decimal, so the whole compare is double
+        # (documented residual; the reference's exactness guarantee tops
+        # out at 2^64 ≈ 1.8e19 — round 5 moved this down from 1e37: bounds
+        # in [1e31, 1e37) used to take the decimal path whose 1e31
+        # far-guard was unsound for values near such a bound)
+        return lambda x, _op=op, _fv=float(v): getattr(x, _op)(F.lit(_fv))
     if exact_int and abs(v) > 2 ** 53 and isinstance(dt, _FRACTIONALS) \
             and not (isinstance(dt, DecimalType) and dt.scale == 0):
         from decimal import Decimal
@@ -1120,7 +1129,13 @@ class Lowerer:
             extra_fields = [nm for nm in fields
                             if nm not in named
                             and not any(m(nm) for m in matchers)]
-            if ap is False or ap == {"not": {}}:
+            # structural comparison must ignore the $__abs__ provenance
+            # marker resolve_refs stamps on $ref-inlined subtrees
+            # (round-5 ADVICE low #5)
+            ap_cmp = ({k: v for k, v in ap.items()
+                       if k not in ("$__abs__", "$__lenient__")}
+                      if isinstance(ap, dict) else ap)
+            if ap is False or ap_cmp == {"not": {}}:
                 for nm in extra_fields:
                     pred = lambda x, *i, _k=nm: x.getField(_k).isNull()
                     obs_f = _obs_str(fields[nm])

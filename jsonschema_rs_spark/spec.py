@@ -13,9 +13,25 @@ and rejected beyond it.
 from __future__ import annotations
 
 import copy
+import re
 from typing import Any
+from urllib.parse import urljoin
 
 MAX_REF_DEPTH = 16
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+def _join(base: str, ref: str) -> str:
+    """RFC 3986 reference resolution against the current base URI.
+
+    ``urllib.parse.urljoin`` refuses non-hierarchical schemes (``urn:``),
+    so absolute references short-circuit before it — the suite's
+    referencing families only need relative resolution under http(s)
+    bases (reference ``referencing/src/resolver.rs`` base-URI chain)."""
+    if not base or _SCHEME_RE.match(ref):
+        return ref
+    return urljoin(base, ref)
 
 
 class SpecError(ValueError):
@@ -23,31 +39,46 @@ class SpecError(ValueError):
     ``compiler.rs:323-335``)."""
 
 
+def _resource_id(s: dict, draft: int | None) -> str | None:
+    """The non-fragment identifier that makes ``s`` a schema resource:
+    ``$id`` (draft 6+), or legacy ``id`` under draft 4 / the merged
+    dialect.  Fragment-only values are location-independent anchors, not
+    resource boundaries."""
+    sid = s.get("$id")
+    if not isinstance(sid, str) and draft in (None, 4) \
+            and isinstance(s.get("id"), str):
+        sid = s.get("id")
+    if isinstance(sid, str) and not sid.startswith("#"):
+        return sid
+    return None
+
+
 def _find_anchor(doc: Any, name: str,
                  draft: int | None = None) -> Any | None:
-    """Subschema carrying ``$anchor: name`` (2019-09+) or the
-    location-independent fragment-only ``$id: "#name"`` (drafts 6/7; draft
-    4 spells it ``id`` — only honored there, ``id`` is a plain annotation
-    in later drafts) within ONE schema resource — the walk stops at nested
-    ``$id`` resources (their anchors belong to their own scope, reachable
-    via their URI) and does NOT descend into ``enum``/``const`` DATA (an
-    ``$anchor`` key inside an enum member is not an identifier)."""
+    """Subschema carrying the location-independent identifier ``name``
+    within ONE schema resource, draft-gated like the reference
+    (``referencing/specification/mod.rs:85-90``): ``$anchor`` only under
+    2019-09+, fragment-only ``$id: "#name"`` only under drafts 6/7, and
+    fragment-only ``id`` only under draft 4; the merged dialect (draft
+    None) accepts all three.  The walk stops at nested ``$id`` resources
+    (their anchors belong to their own scope, reachable via their URI) and
+    does NOT descend into ``enum``/``const`` DATA (an ``$anchor`` key
+    inside an enum member is not an identifier)."""
     found = None
-    legacy_id = draft in (None, 4)
+    use_anchor = draft in (None, 2019, 2020)
+    use_id_frag = draft in (None, 6, 7)
+    use_legacy = draft in (None, 4)
 
     def walk(s, at_root=False):
         nonlocal found
         if found is not None:
             return
         if isinstance(s, dict):
-            sid = s.get("$id")
-            if not isinstance(sid, str) and legacy_id \
-                    and isinstance(s.get("id"), str):
-                sid = s.get("id")
-            if not at_root and isinstance(sid, str) \
-                    and not sid.startswith("#"):
+            if not at_root and _resource_id(s, draft) is not None:
                 return  # nested resource boundary
-            if s.get("$anchor") == name or sid == "#" + name:
+            if ((use_anchor and s.get("$anchor") == name)
+                    or (use_id_frag and s.get("$id") == "#" + name)
+                    or (use_legacy and s.get("id") == "#" + name)):
                 found = s
                 return
             for k, v in s.items():
@@ -63,7 +94,8 @@ def _find_anchor(doc: Any, name: str,
 
 
 def _pointer_get(doc: Any, pointer: str,
-                 resources: dict[str, Any] | None = None) -> Any:
+                 resources: dict[str, Any] | None = None,
+                 draft: int | None = None) -> Any:
     """Resolve a ``$ref`` against ``doc`` or a registered resource.
 
     ``#/...``       — local JSON Pointer.
@@ -88,7 +120,7 @@ def _pointer_get(doc: Any, pointer: str,
         )
     frag = pointer[1:]
     if frag and not frag.startswith("/"):
-        target = _find_anchor(doc, frag)
+        target = _find_anchor(doc, frag, draft)
         if target is None:
             raise SpecError(
                 f"unresolvable $ref {pointer!r}: no $anchor or "
@@ -134,11 +166,14 @@ def _collect_dynamic_anchors(root: Any) -> dict[Any, Any]:
 
     def walk(s, at_root=False):
         if isinstance(s, dict):
-            if not at_root and isinstance(s.get("$id"), str):
+            if not at_root and isinstance(s.get("$id"), str) \
+                    and not s["$id"].startswith("#"):
                 return  # a nested resource: its own scope, not ours
             if isinstance(s.get("$dynamicAnchor"), str):
                 out.setdefault(s["$dynamicAnchor"], s)
-            for v in s.values():
+            for k, v in s.items():
+                if k in ("enum", "const"):
+                    continue  # data, not schema structure
                 walk(v)
         elif isinstance(s, list):
             for v in s:
@@ -152,17 +187,25 @@ def _collect_dynamic_anchors(root: Any) -> dict[Any, Any]:
     return out
 
 
-def _pointer_resource(doc: Any, pointer: str) -> Any | None:
+def _pointer_resource(doc: Any, pointer: str, base: str = "",
+                      draft: int | None = None) -> tuple[Any, str] | None:
     """The innermost ``$id``-carrying subschema a local ``#/...`` pointer
-    path crosses (including the target itself), or None.
+    path crosses (including the target itself) plus that resource's base
+    URI (each crossed ``$id`` joined RFC-3986-style onto ``base``), or
+    None.
 
     Entering a schema RESOURCE pushes its dynamic scope no matter how it was
     entered (reference ``ref_.rs`` dynamic-scope walk) — a local pointer
     ``#/$defs/inner`` into an embedded ``$id`` resource must resolve that
-    resource's ``$dynamicAnchor``s exactly as entry via its URI would."""
+    resource's ``$dynamicAnchor``s exactly as entry via its URI would.
+    A path that descends through ``enum``/``const`` is in DATA from that
+    segment on; ``$id`` keys inside data are not resource boundaries."""
     if not pointer.startswith("#"):
         return None
-    cur, found = doc, None
+    cur, found, in_data = doc, None, False
+    prev = None
+    _NAME_MAPS = ("properties", "patternProperties", "$defs", "definitions",
+                  "dependentSchemas", "dependencies")
     for raw in pointer[1:].split("/"):
         if raw == "":
             continue
@@ -175,12 +218,49 @@ def _pointer_resource(doc: Any, pointer: str) -> Any | None:
         elif isinstance(cur, dict):
             if token not in cur:
                 return None
+            # a key named enum/const is DATA unless it is a property name
+            # inside a name→schema container map
+            if token in ("enum", "const") and prev not in _NAME_MAPS \
+                    and not in_data:
+                in_data = True
             cur = cur[token]
         else:
             return None
-        if isinstance(cur, dict) and isinstance(cur.get("$id"), str):
-            found = cur
+        prev = token
+        if not in_data and isinstance(cur, dict):
+            sid = _resource_id(cur, draft)
+            if sid is not None:
+                base = _join(base, sid)
+                found = (cur, base)
     return found
+
+
+def _collect_resources(doc: Any, base: str, out: dict[str, Any],
+                       draft: int | None = None) -> None:
+    """Register every embedded ``$id``-carrying subschema of ``doc`` under
+    its ABSOLUTE URI (relative ``$id``s joined onto the enclosing
+    resource's base, RFC 3986) — the registry analogue of the reference's
+    ``referencing`` crate walking a document for embedded resources
+    (``registry.rs:103-261``).  ``setdefault`` so explicitly supplied
+    resources win over collected ones."""
+
+    def walk(s, b, at_root=False):
+        if isinstance(s, dict):
+            sid = _resource_id(s, draft)
+            nb = b
+            if sid is not None:
+                nb = _join(b, sid)
+                if not at_root:
+                    out.setdefault(nb, s)
+            for k, v in s.items():
+                if k in ("enum", "const"):
+                    continue  # data, not schema structure
+                walk(v, nb)
+        elif isinstance(s, list):
+            for v in s:
+                walk(v, b)
+
+    walk(doc, base, at_root=True)
 
 
 def _dyn_lookup(scopes: tuple, name: str) -> Any | None:
@@ -225,7 +305,8 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
                  _dyn: dict[str, Any] | None = None,
                  _dyn_depth: int = 0,
                  draft: int | None = None,
-                 _res: Any = None) -> Any:
+                 _res: Any = None,
+                 _base: str = "") -> Any:
     """Inline every ``$ref`` (local or registered-resource) into a
     self-contained dict.
 
@@ -243,14 +324,19 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
     """
     if root is None:
         root = schema
+        reg: dict[str, Any] = {}
         if isinstance(schema, dict):
-            # $defs with $id act as addressable resources too
-            own = {
-                sub["$id"]: sub
-                for sub in (schema.get("$defs") or {}).values()
-                if isinstance(sub, dict) and "$id" in sub
-            }
-            resources = {**own, **(resources or {})} or None
+            rid = _resource_id(schema, draft)
+            _base = rid if rid is not None else ""
+            if _base:
+                reg[_base] = schema
+            # every embedded $id subschema is an addressable resource
+            # (round 5 — was root-level $defs only)
+            _collect_resources(schema, _base, reg, draft)
+            for uri, doc in (resources or {}).items():
+                reg[uri] = doc  # explicit registration wins
+                _collect_resources(doc, uri, reg, draft)
+        resources = reg or None
         _dyn = (_collect_dynamic_anchors(schema),)
     if depth > MAX_REF_DEPTH:
         raise SpecError(
@@ -258,10 +344,11 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
             "bounded for columnar compilation"
         )
 
-    def rec(s, d=depth, dd=_dyn_depth, dyn=None, res=None):
+    def rec(s, d=depth, dd=_dyn_depth, dyn=None, res=None, base=None):
         return resolve_refs(s, root, d, resources, recursion_limit,
                             dyn if dyn is not None else _dyn, dd, draft,
-                            res if res is not None else _res)
+                            res if res is not None else _res,
+                            base if base is not None else _base)
 
     def rec_kw(k, v):
         """Keyword-aware descent: the VALUES of name→schema container
@@ -280,6 +367,17 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
         return rec(v)
 
     if isinstance(schema, dict):
+        # Generic descent crossing into an embedded $id resource rebases
+        # the current resource, base URI, and dynamic scope — plain-name
+        # and '#/...' refs written INSIDE the resource must resolve there,
+        # exactly as entry via $ref would (round-5 ADVICE: _res was only
+        # threaded through $ref entry).
+        sid = _resource_id(schema, draft)
+        if sid is not None:
+            nb = _join(_base, sid)
+            if nb != _base:
+                _res, _base = schema, nb
+                _dyn = (_dyn or ()) + (_collect_dynamic_anchors(schema),)
         if "$recursiveRef" in schema or "$dynamicRef" in schema:
             key = "$recursiveRef" if "$recursiveRef" in schema else "$dynamicRef"
             frag = schema[key]
@@ -335,38 +433,55 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
         if "$ref" in schema:
             ref = schema["$ref"]
             new_dyn = _dyn
-            new_res = None
-            if (ref.startswith("#") and len(ref) > 1
-                    and not ref[1:].startswith("/")):
-                # plain-name fragment: resolved in the CURRENT resource
-                # (official suite "base URI change in subschema")
-                cur_res = _res if _res is not None else root
-                t = _find_anchor(cur_res, ref[1:], draft)
-                if t is None:
-                    raise SpecError(
-                        f"unresolvable $ref {ref!r}: no $anchor or "
-                        f"fragment-only $id named {ref[1:]!r} in the "
-                        "current schema resource")
-                target = copy.deepcopy(t)
+            new_res, new_base = None, None
+            cur_doc = _res if _res is not None else root
+            if ref.startswith("#"):
+                frag, frag_uri = ref[1:], _base
             else:
-                target = copy.deepcopy(_pointer_get(root, ref, resources))
-            if not ref.startswith("#"):
-                uri = ref.partition("#")[0]
-                if resources and uri in resources:
+                # RFC 3986 join onto the current resource's base URI —
+                # 'sibling.json' inside resource http://e/a.json means
+                # http://e/sibling.json (suite refRemote "base URI change")
+                full = _join(_base, ref)
+                frag_uri, _, frag = full.partition("#")
+                if frag_uri != _base or not _base:
+                    if not (resources and frag_uri in resources):
+                        raise SpecError(
+                            f"unresolvable $ref {ref!r} (-> {full!r}): not "
+                            "a local reference into the current resource "
+                            "and no "
+                            "matching resource registered (have: "
+                            f"{sorted(resources or [])}); fetch remote "
+                            "resources on the driver and pass them via "
+                            "resolve_refs(..., resources=...)")
+                    cur_doc = resources[frag_uri]
                     # entering another schema RESOURCE pushes its dynamic
                     # scope (innermost last; lookups scan outermost-first)
                     new_dyn = (_dyn or ()) + (
-                        _collect_dynamic_anchors(resources[uri]),)
-                    new_res = resources[uri]
+                        _collect_dynamic_anchors(cur_doc),)
+                    new_res, new_base = cur_doc, frag_uri
+            if frag and not frag.startswith("/"):
+                # plain-name fragment: resolved in the target resource
+                t = _find_anchor(cur_doc, frag, draft)
+                if t is None:
+                    raise SpecError(
+                        f"unresolvable $ref {ref!r}: no location-"
+                        f"independent identifier named {frag!r} in the "
+                        "target schema resource")
+                target = copy.deepcopy(t)
             else:
-                # a LOCAL pointer that descends into (or lands on) an
-                # embedded $id subschema also enters that resource
-                res = _pointer_resource(root, ref)
-                if res is not None:
-                    new_dyn = (_dyn or ()) + (
-                        _collect_dynamic_anchors(res),)
-                    new_res = res
-            resolved = rec(target, depth + 1, dyn=new_dyn, res=new_res)
+                target = copy.deepcopy(
+                    _pointer_get(cur_doc, "#" + frag, resources, draft))
+                # a pointer that descends into (or lands on) an embedded
+                # $id subschema also enters that resource
+                hit = _pointer_resource(cur_doc, "#" + frag,
+                                        new_base if new_base is not None
+                                        else _base, draft)
+                if hit is not None:
+                    new_dyn = (new_dyn or ()) + (
+                        _collect_dynamic_anchors(hit[0]),)
+                    new_res, new_base = hit
+            resolved = rec(target, depth + 1, dyn=new_dyn, res=new_res,
+                           base=new_base)
             if isinstance(resolved, dict):
                 # absoluteKeywordLocation provenance (reference
                 # ``output.rs:193-200,242-249``): the pre-inline resource
@@ -375,10 +490,9 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
                 # (setdefault: an outer re-inline must not overwrite the
                 # original provenance recorded on the subtree root).
                 if ref.startswith("#"):
-                    abs_loc = "#" + ref[1:]
+                    abs_loc = (_base or "") + "#" + frag
                 else:
-                    uri, _, frag = ref.partition("#")
-                    abs_loc = uri + "#" + frag
+                    abs_loc = frag_uri + "#" + frag
                 resolved.setdefault("$__abs__", abs_loc)
             # Sibling keywords next to $ref: drafts 4-7 IGNORE them ($ref
             # replaces the whole object, reference ``ref_.rs`` legacy
