@@ -1,30 +1,31 @@
-"""Official JSON-Schema-Test-Suite replay (typed-representable subset).
+"""Official JSON-Schema-Test-Suite replay.
 
 The reference's gold standard is a wholesale replay of the public suite —
 one generated test per case across five drafts
 (``crates/jsonschema/tests/suite.rs:7-116``).  This harness replays the
-authored subset under ``tests/suite_corpus/`` (see its README for
-provenance + exclusion rules) through the Spark engine:
+authored corpus under ``tests/suite_corpus/`` (see its README for
+provenance) through BOTH ingestion paths:
 
-* each suite instance is ingested as a TYPED ``value`` column (the typed-
-  table model this engine is built for — instances sharing a Spark type are
-  batched into one DataFrame, one Spark action per (draft, column-type));
-* the case schema ``S`` is wrapped as ``{"properties": {"value": S}}`` with
-  ``$defs``/``definitions`` hoisted so local pointers keep resolving;
-* the engine's ``is_valid`` fast path must reproduce the suite's ``valid``
-  bit for every representable test.
+* PRIMARY (round 5): each instance is serialized to its raw JSON text and
+  validated via :func:`jsonschema_rs_spark.json_ingest.json_valid_column`
+  — the arbitrary-JSON variant path.  One shared ``(row_id, js)``
+  DataFrame per draft; case columns are batched ~60 per Spark action.
+  This path has no typed-representability limits: JSON null, mixed-type
+  arrays, >int64 integers, draft-4 literal forms, and structural ``$ref``
+  all evaluate natively.
+* FALLBACK: cases the variant path cannot lower (``unevaluated*``,
+  java-incompatible patterns — it raises ``JsonIngestUnsupported`` at
+  compile time) replay through the original typed-table path: instances
+  are inferred into a typed ``value`` column, schemas wrapped as
+  ``{"properties": {"value": S}}`` with defs hoisted.
 
-Exclusions are mechanical, each with a named reason (asserted below):
-  R1 null instance (or null member/element): a typed table cannot
-     distinguish JSON null from an absent member — kept only when top-level
-     AND the suite expects valid (absent passes everything, same verdict);
-  R2 heterogeneous arrays / conflicting member types: no single Spark
-     element type exists;
+Typed-path exclusions (now applying ONLY to fallback cases) keep their
+named reasons:
+  R1 null instance (or null member/element);
+  R2 heterogeneous arrays / conflicting member types;
   R3 integers beyond int64;
-  R4 int→double promotion inside a container under draft-4 ``integer``
-     semantics (would flip the expected verdict);
-  R5 $ref pointers into schema structure (only ``#/$defs/...`` /
-     ``#/definitions/...`` survive the typed wrapper).
+  R4 int→double promotion under draft-4 ``integer``;
+  R5 $ref pointers into schema structure.
 """
 
 from __future__ import annotations
@@ -304,18 +305,25 @@ def _wrap(schema):
 # corpus loading + grouping
 # ------------------------------------------------------------------
 
-def _load_draft(draft_dir):
+def _enumerate_cases(draft_dir):
+    out = []
+    for path in sorted(glob.glob(os.path.join(CORPUS, draft_dir, "*.json"))):
+        fname = os.path.basename(path)
+        with open(path) as f:
+            cases = json.load(f)
+        out.extend((fname, c) for c in cases)
+    return out
+
+
+def _load_draft(draft_dir, case_list):
     """→ (groups, skips): groups maps a dtype signature to
     {dtype, cases: [(label, wrapped_schema, [(row_id, data, valid, desc)])]}
     """
     skips: list[tuple[str, str]] = []  # (reason, label)
     groups: dict[str, dict] = {}
     row_id = 0
-    for path in sorted(glob.glob(os.path.join(CORPUS, draft_dir, "*.json"))):
-        fname = os.path.basename(path)
-        with open(path) as f:
-            cases = json.load(f)
-        for c in cases:
+    if True:
+        for fname, c in case_list:
             label = f"{draft_dir}/{fname}::{c['description']}"
             if not _refs_ok(c["schema"]):
                 skips.extend(("R5-structural-ref",
@@ -402,9 +410,65 @@ def _load_draft(draft_dir):
 # evaluation: one Spark action per (draft, dtype signature)
 # ------------------------------------------------------------------
 
-def _eval_draft(spark, draft_dir, draft_num):
-    groups, skips = _load_draft(draft_dir)
+def _eval_json_path(spark, case_list, draft_num):
+    """PRIMARY path: every instance as raw JSON text through the variant
+    lowering.  → (n_run, failures, fallback_cases)."""
+    from jsonschema_rs_spark.json_ingest import (JsonIngestUnsupported,
+                                                 json_valid_column)
+
+    fallback, lowered = [], []
+    for fname, c in case_list:
+        try:
+            # probe-compile once; reuse the builder per chunk below
+            json_valid_column(F.lit("null"), c["schema"],
+                              EngineOptions(draft=draft_num))
+        except JsonIngestUnsupported:
+            fallback.append((fname, c))
+            continue
+        except Exception:
+            # typed path surfaces compile errors with its own reporting
+            fallback.append((fname, c))
+            continue
+        lowered.append((fname, c))
+    rows, meta, cols = [], [], []
+    rid = 0
+    for fname, c in lowered:
+        label = f"{fname}::{c['description']}"
+        for t in c["tests"]:
+            rows.append((rid, json.dumps(t["data"])))
+            meta.append((rid, len(cols), t["valid"],
+                         f"{label}::{t['description']}"))
+            rid += 1
+        cols.append(c["schema"])
     failures, n_run = [], 0
+    if cols:
+        df = spark.createDataFrame(rows, "rid long, js string")
+        chunk_size = 60
+        got: dict[tuple[int, int], bool] = {}
+        for start in range(0, len(cols), chunk_size):
+            chunk = cols[start:start + chunk_size]
+            sel = df.select("rid", *[
+                json_valid_column(F.col("js"), s,
+                                  EngineOptions(draft=draft_num))
+                .alias(f"c{start + k}")
+                for k, s in enumerate(chunk)])
+            for r in sel.collect():
+                for k in range(len(chunk)):
+                    got[(r["rid"], start + k)] = r[f"c{start + k}"]
+        for rid_, ci, want, tl in meta:
+            n_run += 1
+            g = bool(got[(rid_, ci)])
+            if g != want:
+                failures.append(f"{tl}: json-path engine={g} "
+                                f"suite-expects={want}")
+    return n_run, failures, fallback
+
+
+def _eval_draft(spark, draft_dir, draft_num):
+    case_list = _enumerate_cases(draft_dir)
+    n_json, failures, fallback = _eval_json_path(spark, case_list, draft_num)
+    groups, skips = _load_draft(draft_dir, fallback)
+    n_run = n_json
     for sig, g in groups.items():
         dt = g["dtype"]
         tbl = StructType([
@@ -462,8 +526,11 @@ def test_suite_replay(spark, draft_dir, draft_num):
     assert not failures, (
         f"{len(failures)} suite mismatches (of {n_run} run):\n"
         + "\n".join(failures[:40]))
-    # the replay must be substantive, not vacuously skipped
-    assert n_run >= 150, (n_run, len(skips))
+    # the replay must be substantive, not vacuously skipped; with the
+    # JSON-native primary path nearly every corpus test runs (skips apply
+    # only to the typed fallback for unevaluated*/pattern cases)
+    assert n_run >= 250, (n_run, len(skips))
+    assert len(skips) <= 10, [s for s in skips][:20]
 
 
 def test_suite_corpus_size():
