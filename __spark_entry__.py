@@ -259,6 +259,42 @@ def q_kw_ref_siblings(spark, sf_dir):
     return v7.unionByName(v19)
 
 
+def q_kw_json_ingest(spark, sf_dir):
+    """Arbitrary-JSON ingestion (round 5): documents rendered to raw JSON
+    text with deterministically planted malformed / wrong-typed /
+    missing-member variants, validated by the variant-native path
+    (``json_ingest.validate_json_strings`` — the analogue of the
+    reference accepting ANY parsed JSON, ``validator.rs:29-33``)."""
+    from jsonschema_rs_spark.json_ingest import validate_json_strings
+
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .filter(F.col("lang").isNotNull() & F.col("source").isNotNull()
+                 & F.col("n_chars").isNotNull()))
+    js = (F.when(F.col("doc_id") % 19 == 0, F.lit("{unclosed"))
+          .otherwise(F.concat(
+              F.lit('{"id":'), F.col("doc_id").cast("string"),
+              F.when(F.col("doc_id") % 17 == 0, F.lit(""))
+               .otherwise(F.concat(F.lit(',"lang":"'), F.col("lang"),
+                                   F.lit('"'))),
+              F.lit(',"n_chars":'),
+              F.when(F.col("doc_id") % 13 == 0,
+                     F.concat(F.lit('"'), F.col("n_chars").cast("string"),
+                              F.lit('"')))
+               .otherwise(F.col("n_chars").cast("string")),
+              F.lit(',"source":"'), F.col("source"), F.lit('"}'))))
+    spec = {
+        "properties": {
+            "id": {"type": "integer", "minimum": 0},
+            "lang": {"type": "string", "minLength": 2},
+            "n_chars": {"type": "integer", "maximum": 400},
+            "source": {"type": "string", "pattern": "^src[0-9]+$"},
+        },
+        "required": ["id", "lang"],
+    }
+    return validate_json_strings(
+        d.select("doc_id", js.alias("js")), "js", spec)
+
+
 def q_kw_map_deps(spark, sf_dir):
     """dependentRequired / propertyNames / minProperties over a MAP column
     with dynamic keys (constructed deterministically from event_id)."""
@@ -687,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_draft4_integer": q_kw_draft4_integer,
         "kw_struct_addl": q_kw_struct_addl,
         "kw_ref_siblings": q_kw_ref_siblings,
+        "kw_json_ingest": q_kw_json_ingest,
         "kw_map_deps": q_kw_map_deps,
         "kw_uneval_map": q_kw_uneval_map,
         "kw_uneval_items": q_kw_uneval_items,
@@ -869,6 +906,26 @@ SELECT event_id, 'ratio/type' AS constraint_id,
        CAST(NULL AS INTEGER) AS span_index,
        CAST(ratio AS VARCHAR) AS observed, 7 AS draft
 FROM ev WHERE ratio <> floor(ratio)
+""",
+        "kw_json_ingest": """
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL
+)
+SELECT doc_id, 'json/parse' AS constraint_id, '{unclosed' AS observed
+FROM d WHERE doc_id % 19 = 0
+UNION ALL
+SELECT doc_id, 'required/lang', 'missing'
+FROM d WHERE doc_id % 19 <> 0 AND doc_id % 17 = 0
+UNION ALL
+SELECT doc_id, 'lang/minLength', lang
+FROM d WHERE doc_id % 19 <> 0 AND doc_id % 17 <> 0 AND length(lang) < 2
+UNION ALL
+SELECT doc_id, 'n_chars/type', CAST(n_chars AS VARCHAR)
+FROM d WHERE doc_id % 19 <> 0 AND doc_id % 13 = 0
+UNION ALL
+SELECT doc_id, 'n_chars/maximum', CAST(n_chars AS VARCHAR)
+FROM d WHERE doc_id % 19 <> 0 AND doc_id % 13 <> 0 AND n_chars > 400
 """,
         "kw_struct_addl": """
 SELECT event_id, 'cfg/additionalProperties/extra' AS constraint_id,
