@@ -107,8 +107,21 @@ def q_kw_minimum(spark, sf_dir):
 
 
 def q_kw_multiple_of(spark, sf_dir):
-    return _kw_violations(spark, sf_dir, _span_spec(
+    """Integer fast path on span offsets + the round-5 decimal-exact
+    float path (multiple_of.rs:33-41): ratios around 1.0xxx against a
+    0.0003 divisor — magnitudes where epsilon double math still agrees,
+    so the oracle stays SQL-expressible, with the large-magnitude torture
+    covered in test_compiler.py."""
+    base = _kw_violations(spark, sf_dir, _span_spec(
         {"items": {"properties": {"offset": {"multipleOf": 8}}}}))
+    ev = _events(spark, sf_dir).select(
+        F.concat(F.lit("ev-"), F.col("event_id").cast("string"))
+        .alias("doc_id"),
+        (F.lit(1.0) + (F.col("event_id") % 1000).cast("double")
+         / F.lit(10000.0)).alias("ratio"))
+    c = compile_spec({"properties": {"ratio": {"multipleOf": 0.0003}}},
+                     ev.schema)
+    return base.unionByName(violations(ev, c))
 
 
 def q_kw_min_length(spark, sf_dir):
@@ -833,6 +846,12 @@ FROM spans WHERE "offset" < 0
 SELECT doc_id, 'spans/items/offset/multipleOf' AS constraint_id, span_index,
        CAST("offset" AS VARCHAR) AS observed
 FROM spans WHERE "offset" % 8 <> 0
+UNION ALL
+SELECT 'ev-' || CAST(event_id AS VARCHAR) AS doc_id,
+       'ratio/multipleOf' AS constraint_id,
+       CAST(NULL AS INTEGER) AS span_index,
+       CAST(1.0 + (event_id % 1000) / 10000.0 AS VARCHAR) AS observed
+FROM events WHERE (10000 + event_id % 1000) % 3 <> 0
 """,
         "kw_min_length": SPANS_CTE_SQL + """
 SELECT doc_id, 'spans/items/text/minLength' AS constraint_id, span_index,

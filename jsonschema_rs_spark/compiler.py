@@ -491,16 +491,48 @@ def _lower_enum(values: list, dt: DataType) -> Callable[[Column], Column]:
     return pred
 
 
+def _multiple_of_decimal(k: Any):
+    """The divisor's exact decimal form when it qualifies for the
+    decimal-remainder path (≤6 fractional digits, fits decimal(38,6)) —
+    the analogue of the reference's exact fraction fallback
+    (``multiple_of.rs:33-41``, fraction-crate values built from the
+    canonical decimal rendering).  None → epsilon double math."""
+    from decimal import Decimal
+
+    if isinstance(k, bool) or not isinstance(k, (int, float)):
+        return None
+    kd = Decimal(repr(float(k)))
+    tup = kd.as_tuple()
+    frac_digits = max(-tup.exponent, 0)
+    int_digits = len(tup.digits) - frac_digits
+    if kd == 0 or frac_digits > 6 or int_digits > 32:
+        return None
+    return kd
+
+
 def _lower_multiple_of(k: Any, dt: DataType) -> Callable[[Column], Column]:
-    """Reference ``keywords/multiple_of.rs:101-123``: integer fast path,
-    epsilon float path (``:27-59``)."""
+    """Reference ``keywords/multiple_of.rs:101-123``: integer fast path;
+    floats via an EXACT decimal remainder when both the divisor and the
+    value round-trip through decimal(38,6) (round 5 — the old pure-epsilon
+    path went false-negative once |value/divisor| outgrew 1e9·ε, e.g.
+    123456.7891 multipleOf 0.0001), with the epsilon double path (``:27-
+    59``) kept for everything that does not round-trip."""
     if not _is_numeric(dt):
         return _true
     if isinstance(k, int) and isinstance(dt, _INTEGRALS):
         return lambda x: x % F.lit(k) == 0
+    kd = _multiple_of_decimal(k)
+
     def pred(x: Column) -> Column:
-        r = x.cast("double") / F.lit(float(k))
-        return F.abs(r - F.round(r, 0)) < F.lit(1e-9)
+        xf = x.cast("double")
+        r = xf / F.lit(float(k))
+        approx = F.abs(r - F.round(r, 0)) < F.lit(1e-9)
+        if kd is None:
+            return approx
+        xd = xf.try_cast("decimal(38,6)")
+        exact = xd.isNotNull() & (xd.cast("double") == xf)
+        return F.when(exact, xd % F.lit(kd) == 0).otherwise(approx)
+
     return pred
 
 

@@ -455,13 +455,26 @@ class _JsonLowerer:
                 emit(path + (kw,), gate(self._num_cmp(jv, schema[kw], op)))
         if "multipleOf" in schema:
             q = schema["multipleOf"]
-            if isinstance(q, int) and not isinstance(q, bool):
-                p = F.when(jv.tag == "integer", jv.ndec % F.lit(q) == 0) \
-                     .otherwise(jv.nd == F.lit(float(q)) * F.round(
-                         jv.nd / F.lit(float(q))))
+            from jsonschema_rs_spark.compiler import _multiple_of_decimal
+
+            ratio = jv.nd / F.lit(float(q))
+            approx = F.abs(ratio - F.round(ratio, 0)) < F.lit(1e-9)
+            kd = _multiple_of_decimal(q)
+            if kd is not None:
+                # variant keeps the literal's exact decimal — extract it
+                # directly (no double round-trip needed for ≤6-scale
+                # literals; mirrors compiler._lower_multiple_of)
+                xd = F.when(t.isin("integer", "number"),
+                            F.try_variant_get(jv.e, "$", "decimal(38,6)"))
+                exact = xd.isNotNull() & (xd.cast("double") == jv.nd)
+                flt = F.when(exact, xd % F.lit(kd) == 0).otherwise(approx)
             else:
-                ratio = jv.nd / F.lit(float(q))
-                p = ratio == F.round(ratio)
+                flt = approx
+            if isinstance(q, int) and not isinstance(q, bool):
+                p = F.when(jv.tag == "integer",
+                           jv.ndec % F.lit(q) == 0).otherwise(flt)
+            else:
+                p = flt
             emit(path + ("multipleOf",), gate(p))
 
     # -- string keywords ---------------------------------------------------

@@ -31,6 +31,30 @@ def _obs(v: Any) -> str:
     return str(v)
 
 
+def _multiple_of_ok(value, k) -> bool:
+    """Mirror of compiler._lower_multiple_of (round 5): integer fast path,
+    exact decimal remainder when divisor AND value round-trip through
+    decimal(38,6), epsilon double math otherwise."""
+    from decimal import Decimal
+
+    if isinstance(value, int) and isinstance(k, int) \
+            and not isinstance(value, bool):
+        return value % k == 0
+    from jsonschema_rs_spark.compiler import _multiple_of_decimal
+
+    kd = _multiple_of_decimal(k)
+    if kd is not None:
+        try:
+            xd = Decimal(repr(float(value))).quantize(Decimal("0.000001"))
+        except Exception:
+            xd = None
+        if xd is not None and abs(xd) < Decimal(10) ** 32 \
+                and float(xd) == float(value):
+            return xd % kd == 0
+    r = value / k
+    return abs(r - round(r)) < 1e-9
+
+
 def _is_valid(schema: Any, value: Any, is_root: bool = False) -> bool:
     return not _errors(schema, value, (), is_root)
 
@@ -103,8 +127,7 @@ def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list
                 fail("exclusiveMaximum")
         elif kw == "multipleOf":
             if isinstance(value, (int, float)):
-                r = value / sval
-                if abs(r - round(r)) >= 1e-9:
+                if not _multiple_of_ok(value, sval):
                     fail("multipleOf")
         elif kw == "minLength":
             if isinstance(value, str) and len(value) < sval:

@@ -651,3 +651,38 @@ def test_connected_components_raises_on_non_convergence(spark):
         [(i, i + 1) for i in range(6)], "id_a bigint, id_b bigint")
     with _pytest.raises(RuntimeError, match="did not converge"):
         _DD.connected_components_min(chain, max_iter=2)
+
+
+def test_multiple_of_decimal_exact_path(spark):
+    """Round 5: floats check multipleOf via an EXACT decimal remainder
+    when value+divisor round-trip decimal(38,6) (reference fraction
+    fallback, multiple_of.rs:33-41).  The old epsilon path went
+    false-negative once value/divisor outgrew 1e9*eps."""
+    from jsonschema_rs_spark.plans.validate import validation_frame
+    from tests.py_oracle import _multiple_of_ok
+
+    cases = [
+        (123456.7891, 0.0001, True),    # epsilon path said False (wrong)
+        (123456.78915, 0.0001, False),  # 7th decimal digit -> not multiple
+        (0.0075, 0.0001, True),
+        (0.00751, 0.0001, False),
+        (1.0002, 0.0003, True),
+        (1.0001, 0.0003, False),
+        (4.5, 1.5, True),
+        (1e305, 0.5, True),             # beyond decimal range: epsilon path
+        (0.1230000001, 0.0001, False),  # does NOT round-trip via (38,6)
+    ]
+    df = spark.createDataFrame(
+        [(str(i), float(v)) for i, (v, _, _) in enumerate(cases)],
+        "doc_id string, x double")
+    for i, (v, k, want) in enumerate(cases):
+        assert _multiple_of_ok(v, k) is want or \
+            bool(_multiple_of_ok(v, k)) == want, (v, k)
+    # group by divisor to limit actions
+    for k in {k for _, k, _ in cases}:
+        c = compile_spec({"properties": {"x": {"multipleOf": k}}}, df.schema)
+        got = {r["doc_id"]: r["valid"] for r in validation_frame(
+            df, c, mode="verdicts").collect()}
+        for i, (v, kk, want) in enumerate(cases):
+            if kk == k:
+                assert got[str(i)] is want, (v, k, got[str(i)])

@@ -151,3 +151,14 @@ def test_json_nested_combinators(spark):
         {},
     ])
     assert got == [True, False, True, True]
+
+
+def test_json_multiple_of_decimal_exact(spark):
+    """Variant path multipleOf: exact decimal remainder straight from the
+    literal (no double round-trip for <=6-scale literals)."""
+    got = _valids(spark, {"multipleOf": 0.0001},
+                  [0.0075, 0.00751, 123456.7891, 123456.78915])
+    assert got == [True, False, True, False]
+    got = _valids(spark, {"multipleOf": 2}, [4, 4.0, 5, 2 ** 60 + 2,
+                                             2 ** 60 + 1])
+    assert got == [True, True, False, True, False]
