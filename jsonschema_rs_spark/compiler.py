@@ -682,6 +682,81 @@ def _claimed_positions(schema: Any, conditionals: bool = True
     return n_prefix, all_claimed
 
 
+# Round 5: unevaluated* claims count only from SUCCESSFUL subschemas
+# (reference output.rs:139-164 — annotations are dropped from failed
+# schemas).  Claim keywords whose subschemas cannot fail stay on the
+# static path; the rest get a runtime validity gate.
+
+_ANNOTATION_ONLY = frozenset({
+    "title", "description", "default", "examples", "$comment",
+    "deprecated", "readOnly", "writeOnly", "$id", "$schema", "$anchor",
+    "$dynamicAnchor", "$recursiveAnchor", "$defs", "definitions",
+    "$__abs__", "$__lenient__",
+})
+
+
+def _always_valid_schema(s: Any) -> bool:
+    """True when the schema can never fail (claims from it are
+    unconditional even under the annotations-from-successful-subschemas
+    rule)."""
+    if s is True:
+        return True
+    if isinstance(s, dict):
+        return all(k in _ANNOTATION_ONLY for k in s)
+    return False
+
+
+def _prop_claim_subset(s: Any) -> Any:
+    """The claim-producing property keywords of one source schema object
+    whose failure drops its unevaluatedProperties claims — None when they
+    cannot fail.  ``additionalProperties`` keeps the full name/pattern
+    context so its lowering picks the same extra members."""
+    subset: dict = {}
+    props = {k: v for k, v in (s.get("properties") or {}).items()
+             if not _always_valid_schema(v)}
+    if props:
+        subset["properties"] = dict(props)
+    pats = {p: v for p, v in (s.get("patternProperties") or {}).items()
+            if not _always_valid_schema(v)}
+    if pats:
+        subset["patternProperties"] = dict(pats)
+    ap = s.get("additionalProperties")
+    if isinstance(ap, (dict, bool)) and not _always_valid_schema(ap):
+        subset["additionalProperties"] = ap
+        subset.setdefault("properties", {})
+        for k in (s.get("properties") or {}):
+            subset["properties"].setdefault(k, True)
+        subset.setdefault("patternProperties", {})
+        for p in (s.get("patternProperties") or {}):
+            subset["patternProperties"].setdefault(p, True)
+    return subset or None
+
+
+def _items_claim_subset(s: Any) -> Any:
+    """The claim-producing array keywords of one source schema object
+    whose failure drops its unevaluatedItems claims — None when they
+    cannot fail."""
+    subset: dict = {}
+    pre = s.get("prefixItems")
+    it = s.get("items")
+    ai = s.get("additionalItems")
+    if isinstance(pre, list) and any(not _always_valid_schema(x)
+                                     for x in pre):
+        subset["prefixItems"] = pre
+    if isinstance(it, list):
+        if any(not _always_valid_schema(x) for x in it):
+            subset["items"] = it
+    elif isinstance(it, (dict, bool)) and not _always_valid_schema(it):
+        subset["items"] = it
+        if isinstance(pre, list):
+            subset.setdefault("prefixItems", pre)
+    if isinstance(ai, (dict, bool)) and not _always_valid_schema(ai) \
+            and isinstance(it, list):
+        subset["additionalItems"] = ai
+        subset.setdefault("items", it)
+    return subset or None
+
+
 # --------------------------------------------------------------------------
 # the recursive lowerer
 # --------------------------------------------------------------------------
@@ -1192,8 +1267,9 @@ class Lowerer:
             claims = self._claimed_props_cond(schema, ctx)
             for fname in fields:
                 conds = []
+                any_hard = False
                 unconditional = False
-                for cond, names, matchers, claims_all in claims:
+                for cond, names, matchers, claims_all, soft in claims:
                     hit = claims_all or fname in names or any(
                         m(fname) for m in matchers)
                     if not hit:
@@ -1202,6 +1278,7 @@ class Lowerer:
                         unconditional = True
                         break
                     conds.append(cond)
+                    any_hard = any_hard or not soft
                 if unconditional:
                     continue
                 mark_out, mark_val = len(out), len(valids)
@@ -1212,6 +1289,13 @@ class Lowerer:
                 if any(c.scope != ctx.scope for c in out[mark_out:]):
                     # cross-scope (element) constraints can't see the node
                     # instance the claim conditions evaluate on
+                    if not any_hard:
+                        # only SOFT validity gates (round 5): fall back to
+                        # the unconditional claim — drop the unevaluated
+                        # check for this field (documented approximation)
+                        del out[mark_out:]
+                        del valids[mark_val:]
+                        continue
                     raise SpecError(
                         f"unevaluatedProperties at {ctx.cid()}: field "
                         f"{fname!r} is claimed only conditionally but its "
@@ -1268,7 +1352,14 @@ class Lowerer:
 
         out: list = []
 
-        def walk(s, cond, suffix):
+        def walk(s, cond, suffix, pregated):
+            """``pregated`` — cond already embeds this schema object's OWN
+            validity (branch sources), so no extra claim gate is needed.
+            The node itself and allOf children are NOT pregated: their
+            claims gate on their claim-keyword validity (round 5 —
+            annotations only from successful subschemas, output.rs:
+            139-164); such gates are SOFT (the consumer may fall back to
+            an unconditional claim where gating is inexpressible)."""
             if not isinstance(s, dict):
                 return
             names = set(s.get("properties", {}) or {})
@@ -1279,36 +1370,43 @@ class Lowerer:
                 s.get("unevaluatedProperties"), (dict, bool)))
             if names or pats or claims_all:
                 matchers = [driver_regex_matcher(p) for p in pats]
-                out.append((cond, names, matchers, claims_all))
+                g, soft = cond, False
+                if not pregated:
+                    subset = _prop_claim_subset(s)
+                    if subset is not None:
+                        g = and_(cond, bvalid(subset, suffix))
+                        soft = True
+                out.append((g, names, matchers, claims_all, soft))
             for idx, sub in enumerate(s.get("allOf", []) or []):
-                walk(sub, cond, suffix + ("allOf", str(idx)))
+                walk(sub, cond, suffix + ("allOf", str(idx)), False)
             if isinstance(s.get("if"), (dict, bool)):
                 cif = bvalid(s["if"], suffix + ("if",))
-                walk(s["if"], and_(cond, cif), suffix + ("if",))
+                walk(s["if"], and_(cond, cif), suffix + ("if",), True)
                 # 2020-12: annotations only from subschemas that
                 # SUCCESSFULLY validate — then/else claims gate on the
                 # branch's own validity too (round 4)
                 if isinstance(s.get("then"), (dict, bool)):
                     gthen = and_(and_(cond, cif),
                                  bvalid(s["then"], suffix + ("then",)))
-                    walk(s["then"], gthen, suffix + ("then",))
+                    walk(s["then"], gthen, suffix + ("then",), True)
                 if isinstance(s.get("else"), (dict, bool)):
                     def nif(x, *i, _c=cif):
                         return ~F.coalesce(_c(x, *i), F.lit(False))
                     gelse = and_(cond, and_(
                         nif, bvalid(s["else"], suffix + ("else",))))
-                    walk(s["else"], gelse, suffix + ("else",))
+                    walk(s["else"], gelse, suffix + ("else",), True)
             for kw in ("anyOf", "oneOf"):
                 for idx, sub in enumerate(s.get(kw, []) or []):
                     bsuf = suffix + (kw, str(idx))
-                    walk(sub, and_(cond, bvalid(sub, bsuf)), bsuf)
+                    walk(sub, and_(cond, bvalid(sub, bsuf)), bsuf, True)
             for k, sub in (s.get("dependentSchemas") or {}).items():
                 def present(x, *i, _k=k):
                     return x.getField(_k).isNotNull()
                 bsuf = suffix + ("dependentSchemas", k)
-                walk(sub, and_(cond, and_(present, bvalid(sub, bsuf))), bsuf)
+                walk(sub, and_(cond, and_(present, bvalid(sub, bsuf))),
+                     bsuf, True)
 
-        walk(schema, None, ())
+        walk(schema, None, (), False)
         return out
 
     def _walk_branch_claims(self, schema, ctx: _Ctx, add,
@@ -1421,6 +1519,79 @@ class Lowerer:
                 out.append((cond, tuple(nm), tuple(jps), allc))
 
         self._walk_branch_claims(schema, ctx, add, dependent_schemas=True)
+        return out
+
+    def _own_bvalid(self, s, ctx: _Ctx, suffix):
+        return self.lower(s, _Ctx(
+            dtype=ctx.dtype, path=ctx.path + suffix, scope=ctx.scope,
+            dpath=ctx.dpath, elementable=False, array=ctx.array,
+            array_key=ctx.array_key, spointer=_sp(ctx) + suffix,
+            stageable=False, options=ctx.options)).valid
+
+    def _own_prop_claim_sources(self, schema, ctx: _Ctx):
+        """Node-own + allOf unevaluatedProperties claim sources WITH
+        validity gates (round 5 — annotations only from successful
+        subschemas, ``output.rs:139-164``): ``[(gate_or_None, names,
+        java_pats, claims_all)]``.  gate None = the source's claim
+        keywords cannot fail, so its claims stay on the static path."""
+        out: list = []
+
+        def walk(s, suffix):
+            if not isinstance(s, dict):
+                return
+            names = set(s.get("properties", {}) or {})
+            pats = list(s.get("patternProperties", {}) or {})
+            allc = isinstance(s.get("additionalProperties"),
+                              (dict, bool)) or (
+                s is not schema and isinstance(
+                    s.get("unevaluatedProperties"), (dict, bool)))
+            if names or pats or allc:
+                jps = []
+                for p in pats:
+                    jp = ecma_to_java(p)
+                    if jp is None:
+                        raise SpecError(
+                            f"patternProperties key pattern {p!r} at "
+                            f"{ctx.cid()} is not expressible in the Java "
+                            "regex dialect")
+                    jps.append(jp)
+                subset = _prop_claim_subset(s)
+                gate = (None if subset is None
+                        else self._own_bvalid(subset, ctx, suffix))
+                out.append((gate, tuple(names), tuple(jps), allc))
+            for idx, sub in enumerate(s.get("allOf", []) or []):
+                walk(sub, suffix + ("allOf", str(idx)))
+
+        walk(schema, ())
+        return out
+
+    def _own_items_claim_sources(self, schema, ctx: _Ctx):
+        """Node-own + allOf unevaluatedItems claim sources WITH validity
+        gates (round 5): ``[(gate_or_None, n_prefix, claims_all)]``."""
+        out: list = []
+
+        def walk(s, suffix):
+            if not isinstance(s, dict):
+                return
+            nb, ab = 0, False
+            it = s.get("items")
+            if isinstance(it, (dict, bool)):
+                ab = True
+            if isinstance(it, list):
+                nb = max(nb, len(it))
+            if isinstance(s.get("prefixItems"), list):
+                nb = max(nb, len(s["prefixItems"]))
+            if isinstance(s.get("additionalItems"), (dict, bool)):
+                ab = True
+            if nb or ab:
+                subset = _items_claim_subset(s)
+                gate = (None if subset is None
+                        else self._own_bvalid(subset, ctx, suffix))
+                out.append((gate, nb, ab))
+            for idx, sub in enumerate(s.get("allOf", []) or []):
+                walk(sub, suffix + ("allOf", str(idx)))
+
+        walk(schema, ())
         return out
 
     # ------------------------------------------------------------------
@@ -1569,24 +1740,24 @@ class Lowerer:
             a_names, a_pats, all_all = _claimed_props(schema)
             c_names, c_pats, all_st = _claimed_props(schema,
                                                      conditionals=False)
-            if all_st:
+            # round 5: node-own/allOf claims gate on their claim-keyword
+            # validity too (annotations only from successful subschemas);
+            # sources whose claim keywords cannot fail stay static
+            own = self._own_prop_claim_sources(schema, ctx)
+            if any(al for g, _, _, al in own if g is None):
                 ap_kw = None  # unconditionally all claimed
-            elif (set(a_names), sorted(a_pats), all_all) != (
-                    set(c_names), sorted(c_pats), all_st):
-                # conditional claim sources: gate them at runtime (round-3;
-                # was static union across branches)
-                map_conds = self._claimed_map_props_cond(schema, ctx)
-            named = tuple(c_names)
-            pats = []
-            for p in c_pats:
-                jp = ecma_to_java(p)
-                if jp is None:
-                    raise SpecError(
-                        f"patternProperties key pattern {p!r} at {ctx.cid()} "
-                        "is not expressible in the Java regex dialect"
-                    )
-                pats.append(jp)
-            pats = tuple(pats)
+                named, pats = (), ()
+            else:
+                named = tuple(n for g, ns, _, _ in own if g is None
+                              for n in ns)
+                pats = tuple(p for g, _, ps, _ in own if g is None
+                             for p in ps)
+                map_conds = [(g, ns, ps, al) for g, ns, ps, al in own
+                             if g is not None]
+                if (set(a_names), sorted(a_pats), all_all) != (
+                        set(c_names), sorted(c_pats), all_st):
+                    # conditional branch sources: gate at runtime (round 3)
+                    map_conds += self._claimed_map_props_cond(schema, ctx)
         if ap_kw is not None:
             ap = schema[ap_kw]
 
@@ -1742,16 +1913,47 @@ class Lowerer:
             # 2020-12: `contains` claims the items it MATCHES — an
             # element-level runtime claim, handled on the gated path
             has_contains = isinstance(schema.get("contains"), (dict, bool))
-            if all_st:
+            # round 5: node-own/allOf claims gate on their claim-keyword
+            # validity (annotations only from successful subschemas);
+            # can't-fail sources stay on the static per-position path
+            own = self._own_items_claim_sources(schema, ctx)
+            static_all = any(ab for g, _, ab in own if g is None)
+            n_static = max([nb for g, nb, _ in own if g is None],
+                           default=0)
+            gated_own = [(g, nb, ab) for g, nb, ab in own
+                         if g is not None]
+            has_branch_conds = (n_all, all_all) != (n_st, all_st)
+            if static_all:
                 pass  # unconditionally all claimed: nothing unevaluated
-            elif (n_all, all_all) == (n_st, all_st) and not has_contains:
+            elif not gated_own and not has_branch_conds \
+                    and not has_contains:
                 # no conditional sources: static per-position attribution
                 self._emit_items(
                     schema["unevaluatedItems"], ctx, elem_dt, out, valids,
                     path_suffix=("unevaluatedItems",),
-                    index_gate=("ge", n_st) if n_st else None)
+                    index_gate=("ge", n_static) if n_static else None)
             else:
-                conds = self._claimed_items_cond(schema, ctx)
+                # round-5 split: when the only runtime sources are gated
+                # PREFIX claims (no branch conds, no contains, no gated
+                # claims-all), positions past every potentially-claimed
+                # prefix keep the rich static per-position attribution;
+                # only the prefix window goes through the gated check
+                gated_all = any(ab for _, _, ab in gated_own)
+                upper = None
+                if gated_own and not gated_all and not has_branch_conds \
+                        and not has_contains:
+                    upper = max([n_static] + [nb for _, nb, _ in
+                                              gated_own])
+                    self._emit_items(
+                        schema["unevaluatedItems"], ctx, elem_dt, out,
+                        valids, path_suffix=("unevaluatedItems",),
+                        index_gate=("ge", upper))
+                    conds = gated_own
+                else:
+                    conds = gated_own + (
+                        self._claimed_items_cond(schema, ctx)
+                        if has_branch_conds else [])
+                n_st = n_static
                 cont_ok = None
                 if has_contains:
                     cont_ok = self._lower_element_valid(
@@ -1788,6 +1990,10 @@ class Lowerer:
 
                     def cell_ok(b, e, i):
                         claimed = b.getField("a") | (i < b.getField("n"))
+                        if upper is not None:
+                            # positions >= upper are handled by the static
+                            # per-position check above (round-5 split)
+                            claimed = claimed | (i >= F.lit(upper))
                         if _cont is not None:  # contains-matched items
                             claimed = claimed | F.coalesce(
                                 _cont(e), F.lit(False))

@@ -242,36 +242,48 @@ def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list
                 claimed: set = set()
                 claims_all = [False]
 
-                def collect(s):
+                def collect(s, pregated=False):
                     if not isinstance(s, dict):
                         return
-                    claimed.update(s.get("properties", {}) or {})
-                    for p in (s.get("patternProperties") or {}):
-                        for name in value:
-                            if re.search(p, name):
-                                claimed.add(name)
-                    if isinstance(s.get("additionalProperties"),
-                                  (dict, bool)) or (
-                        s is not schema and isinstance(
-                            s.get("unevaluatedProperties"), (dict, bool))
-                    ):
-                        claims_all[0] = True
+                    # round 5: claims count only from SUCCESSFUL claim
+                    # keywords (annotations-from-successful-subschemas);
+                    # branch sources are pregated by their validity check
+                    ok = pregated
+                    if not ok:
+                        from jsonschema_rs_spark.compiler import \
+                            _prop_claim_subset
+
+                        subset = _prop_claim_subset(s)
+                        ok = subset is None or _is_valid(subset, value)
+                    if ok:
+                        claimed.update(s.get("properties", {}) or {})
+                        for p in (s.get("patternProperties") or {}):
+                            for name in value:
+                                if re.search(p, name):
+                                    claimed.add(name)
+                        if isinstance(s.get("additionalProperties"),
+                                      (dict, bool)) or (
+                            s is not schema and isinstance(
+                                s.get("unevaluatedProperties"),
+                                (dict, bool))
+                        ):
+                            claims_all[0] = True
                     for sub in s.get("allOf", []) or []:
-                        collect(sub)
+                        collect(sub, False)
                     if isinstance(s.get("if"), (dict, bool)):
                         if _is_valid(s["if"], value):
-                            collect(s["if"])
-                            if "then" in s:
-                                collect(s["then"])
-                        elif "else" in s:
-                            collect(s["else"])
+                            collect(s["if"], True)
+                            if "then" in s and _is_valid(s["then"], value):
+                                collect(s["then"], True)
+                        elif "else" in s and _is_valid(s["else"], value):
+                            collect(s["else"], True)
                     for kw2 in ("anyOf", "oneOf"):
                         for sub in s.get(kw2, []) or []:
                             if _is_valid(sub, value):
-                                collect(sub)
+                                collect(sub, True)
                     for k2, sub in (s.get("dependentSchemas") or {}).items():
                         if value.get(k2) is not None and _is_valid(sub, value):
-                            collect(sub)
+                            collect(sub, True)
 
                 collect(schema)
                 if not claims_all[0]:
@@ -282,19 +294,52 @@ def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list
                             sval, v, path + ("unevaluatedProperties", name)))
         elif kw == "unevaluatedItems":
             if isinstance(value, list) and isinstance(sval, (dict, bool)):
-                from jsonschema_rs_spark.compiler import _claimed_positions
+                from jsonschema_rs_spark.compiler import (
+                    _claimed_positions, _items_claim_subset)
 
                 n_all, all_all = _claimed_positions(schema)
                 n_st, all_st = _claimed_positions(schema,
                                                   conditionals=False)
                 has_contains = isinstance(schema.get("contains"),
                                           (dict, bool))
-                if all_st:
+                # round 5: node-own/allOf claims gate on claim-keyword
+                # validity (mirrors _own_items_claim_sources)
+                own: list = []  # (has_gate, gate_ok, nb, ab)
+
+                def _own_walk(s):
+                    if not isinstance(s, dict):
+                        return
+                    nb, ab = 0, False
+                    it = s.get("items")
+                    if isinstance(it, (dict, bool)):
+                        ab = True
+                    if isinstance(it, list):
+                        nb = max(nb, len(it))
+                    if isinstance(s.get("prefixItems"), list):
+                        nb = max(nb, len(s["prefixItems"]))
+                    if isinstance(s.get("additionalItems"), (dict, bool)):
+                        ab = True
+                    if nb or ab:
+                        subset = _items_claim_subset(s)
+                        hg = subset is not None
+                        ok = (not hg) or _is_valid(subset, value)
+                        own.append((hg, ok, nb, ab))
+                    for sub in s.get("allOf", []) or []:
+                        _own_walk(sub)
+
+                _own_walk(schema)
+                static_all = any(ab for hg, _, _, ab in own if not hg)
+                n_static = max([nb for hg, _, nb, _ in own if not hg],
+                               default=0)
+                gated_own = [(ok, nb, ab) for hg, ok, nb, ab in own if hg]
+                gated_all = any(ab for _, _, ab in gated_own)
+                has_branch = (n_all, all_all) != (n_st, all_st)
+                if static_all:
                     pass
-                elif (n_all, all_all) == (n_st, all_st) and not has_contains:
+                elif not gated_own and not has_branch and not has_contains:
                     # no conditional sources: static per-position path
                     for i, v in enumerate(value):
-                        if i >= n_st:
+                        if i >= n_static:
                             out.extend(_tag_index(_elem_errors(
                                 sval, v, path + ("unevaluatedItems",)), i))
                 else:
@@ -303,8 +348,26 @@ def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list
                     # validating subschemas, so then/else claims also
                     # require the branch itself to validate, and nested
                     # conditionals recurse under the composed gate
-                    # (round 4 — mirrors _walk_branch_claims)
-                    n_rt, all_rt = n_st, False
+                    # (round 4 — mirrors _walk_branch_claims); round-5
+                    # split: gated PREFIX-only sources keep the static
+                    # fine-grained path past every claimable prefix
+                    upper = None
+                    if gated_own and not gated_all and not has_branch \
+                            and not has_contains:
+                        upper = max([n_static]
+                                    + [nb for _, nb, _ in gated_own])
+                        for i, v in enumerate(value):
+                            if i >= upper:
+                                out.extend(_tag_index(_elem_errors(
+                                    sval, v,
+                                    path + ("unevaluatedItems",)), i))
+                    n_rt, all_rt = n_static, False
+                    for ok2, nb2, ab2 in gated_own:
+                        if ok2:
+                            if ab2:
+                                all_rt = True
+                            else:
+                                n_rt = max(n_rt, nb2)
 
                     def _apply(s):
                         nonlocal n_rt, all_rt
@@ -334,12 +397,13 @@ def _errors(schema: Any, value: Any, path: tuple, is_root: bool = False) -> list
                         for sub in s.get("allOf", []) or []:
                             _walk(sub, False)
 
-                    _walk(schema, False)
+                    if has_branch:
+                        _walk(schema, False)
                     if not all_rt:
                         # 2020-12: contains claims the items it matches
                         bad_pos = [
                             (i, v) for i, v in enumerate(value)
-                            if i >= n_rt
+                            if i >= n_rt and (upper is None or i < upper)
                             and not (has_contains and _is_valid(
                                 schema["contains"], v))
                             and not _is_valid(sval, v)]

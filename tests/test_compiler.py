@@ -686,3 +686,69 @@ def test_multiple_of_decimal_exact_path(spark):
         for i, (v, kk, want) in enumerate(cases):
             if kk == k:
                 assert got[str(i)] is want, (v, k, got[str(i)])
+
+
+def test_uneval_claims_gated_on_subschema_validity(spark):
+    """Round 5 (annotations only from successful subschemas, output.rs:
+    139-164): an allOf branch / node-own claim keyword that FAILS drops
+    its claims, so the member/position surfaces as unevaluated too."""
+    from jsonschema_rs_spark.plans.validate import violations
+
+    # struct path: allOf's properties claim on 'a' drops when a < 10
+    df = spark.createDataFrame(
+        [("d1", (15,)), ("d2", (5,))],
+        "doc_id string, cfg struct<a: bigint>")
+    spec = {"properties": {"cfg": {
+        "allOf": [{"properties": {"a": {"minimum": 10}}}],
+        "unevaluatedProperties": False,
+    }}}
+    c = compile_spec(spec, df.schema)
+    rows = violations(df, c).collect()
+    got = {(r["doc_id"], r["constraint_id"]) for r in rows}
+    assert ("d2", "cfg/allOf/0/a/minimum") in got, got
+    assert any(c.startswith("cfg/unevaluatedProperties/a")
+               for d, c in got if d == "d2"), got
+    assert not any(d == "d1" for d, _ in got), got
+
+    # map path: failing anyOf-adjacent allOf claim -> key unevaluated
+    dfm = spark.createDataFrame(
+        [("m1", {"a": 15}), ("m2", {"a": 5})],
+        "doc_id string, props map<string, bigint>")
+    specm = {"properties": {"props": {
+        "allOf": [{"properties": {"a": {"minimum": 10}}}],
+        "unevaluatedProperties": False,
+    }}}
+    cm = compile_spec(specm, dfm.schema)
+    gotm = {(r["doc_id"], r["constraint_id"])
+            for r in violations(dfm, cm).collect()}
+    assert any(c.startswith("props/unevaluatedProperties")
+               for d, c in gotm if d == "m2"), gotm
+    assert not any(d == "m1" for d, _ in gotm), gotm
+
+    # items path: failing prefixItems claim -> position 0 unevaluated too
+    dfa = spark.createDataFrame(
+        [("a1", [10, 7]), ("a2", [0, 7]), ("a3", [10, 3])],
+        "doc_id string, arr array<bigint>")
+    speca = {"properties": {"arr": {
+        "prefixItems": [{"minimum": 5}],
+        "unevaluatedItems": {"minimum": 6},
+    }}}
+    ca = compile_spec(speca, dfa.schema, EngineOptions(draft=2020))
+    gota = {}
+    for r in violations(dfa, ca).collect():
+        gota.setdefault(r["doc_id"], set()).add(
+            (r["constraint_id"], r["span_index"]))
+    # a1: prefix ok (10>=5), rest ok (7>=6) -> no rows
+    assert "a1" not in gota, gota
+    # a2: prefix fails (0<5) -> claim drops -> pos 0 ALSO unevaluated
+    # (0<6); pos 1 ok
+    assert ("arr/prefixItems/0/minimum", None) in gota["a2"] \
+        or any("prefixItems" in c or "items/0" in c
+               for c, _ in gota["a2"]), gota["a2"]
+    assert any(c == "arr/unevaluatedItems" and i == 0
+               for c, i in gota["a2"]), gota["a2"]
+    # a3: prefix ok -> claim holds -> pos 0 NOT unevaluated; pos 1 fails
+    # the static fine-grained uneval check
+    assert ("arr/unevaluatedItems/minimum", 1) in gota["a3"], gota["a3"]
+    assert not any(c == "arr/unevaluatedItems" and i == 0
+                   for c, i in gota["a3"]), gota["a3"]
