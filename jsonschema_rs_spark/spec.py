@@ -15,7 +15,7 @@ from __future__ import annotations
 import copy
 import re
 from typing import Any
-from urllib.parse import urljoin
+from urllib.parse import unquote, urljoin
 
 MAX_REF_DEPTH = 16
 
@@ -130,7 +130,10 @@ def _pointer_get(doc: Any, pointer: str,
     for raw in pointer[1:].split("/"):
         if raw == "":
             continue
-        token = raw.replace("~1", "/").replace("~0", "~")
+        # URI fragments are percent-decoded before JSON-Pointer token
+        # unescaping (RFC 3986 + RFC 6901; upstream suite 'ref escapes':
+        # '#/$defs/percent%25field')
+        token = unquote(raw).replace("~1", "/").replace("~0", "~")
         if isinstance(cur, list):
             try:
                 cur = cur[int(token)]
@@ -209,7 +212,7 @@ def _pointer_resource(doc: Any, pointer: str, base: str = "",
     for raw in pointer[1:].split("/"):
         if raw == "":
             continue
-        token = raw.replace("~1", "/").replace("~0", "~")
+        token = unquote(raw).replace("~1", "/").replace("~0", "~")
         if isinstance(cur, list):
             try:
                 cur = cur[int(token)]

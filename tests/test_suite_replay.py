@@ -45,6 +45,17 @@ from jsonschema_rs_spark.plans.validate import valid_column, validation_frame
 from jsonschema_rs_spark.spec import SpecError
 
 CORPUS = os.path.join(os.path.dirname(__file__), "suite_corpus")
+
+# remote documents for the refRemote/recursiveRef families — the analogue
+# of the upstream suite's mock-server remotes/ directory
+# (jsonschema-py/tests-py/test_suite.py:43-50), supplied ahead-of-time via
+# EngineOptions.resources (the retriever AOT model)
+with open(os.path.join(CORPUS, "remotes.json")) as _f:
+    REMOTES = json.load(_f)
+
+
+def _opts(draft_num):
+    return EngineOptions(draft=draft_num, resources=dict(REMOTES))
 DRAFT_DIRS = [("draft4", 4), ("draft6", 6), ("draft7", 7),
               ("draft2019", 2019), ("draft2020", 2020)]
 
@@ -421,7 +432,7 @@ def _eval_json_path(spark, case_list, draft_num):
         try:
             # probe-compile once; reuse the builder per chunk below
             json_valid_column(F.lit("null"), c["schema"],
-                              EngineOptions(draft=draft_num))
+                              _opts(draft_num))
         except JsonIngestUnsupported:
             fallback.append((fname, c))
             continue
@@ -448,8 +459,7 @@ def _eval_json_path(spark, case_list, draft_num):
         for start in range(0, len(cols), chunk_size):
             chunk = cols[start:start + chunk_size]
             sel = df.select("rid", *[
-                json_valid_column(F.col("js"), s,
-                                  EngineOptions(draft=draft_num))
+                json_valid_column(F.col("js"), s, _opts(draft_num))
                 .alias(f"c{start + k}")
                 for k, s in enumerate(chunk)])
             for r in sel.collect():
@@ -483,8 +493,7 @@ def _eval_draft(spark, draft_dir, draft_num):
         batched, solo = [], []
         for label, wrapped, rows in g["cases"]:
             try:
-                compiled = compile_spec(wrapped, tbl,
-                                        EngineOptions(draft=draft_num))
+                compiled = compile_spec(wrapped, tbl, _opts(draft_num))
             except SpecError as e:
                 failures.append(f"{label}: compile failed: {e}")
                 continue
@@ -534,7 +543,7 @@ def test_suite_replay(spark, draft_dir, draft_num):
 
 
 def test_suite_corpus_size():
-    """The corpus itself must stay ≥200 suite-derived cases."""
+    """The corpus itself must stay ≥800 suite-derived cases (wave 5)."""
     n_cases = n_tests = 0
     for ddir, _ in DRAFT_DIRS:
         for path in glob.glob(os.path.join(CORPUS, ddir, "*.json")):
@@ -542,5 +551,5 @@ def test_suite_corpus_size():
                 cases = json.load(f)
             n_cases += len(cases)
             n_tests += sum(len(c["tests"]) for c in cases)
-    assert n_cases >= 400, n_cases
-    assert n_tests >= 1200, n_tests
+    assert n_cases >= 800, n_cases
+    assert n_tests >= 2400, n_tests
