@@ -86,15 +86,34 @@ def main() -> None:
     violations_df = violations(df, compiled)
     rollup_df = partition_rollup(df, compiled, "part_key")
 
-    # repeat=3 for the headline plans: the shared host shows 3-10x co-tenant
-    # swings and the first run pays the page-cache fill; min-of-3 recovers
-    # the engine's own cost (isolated steady-state ~0.5-0.9s for violations)
+    # HEADLINE PAIR — measured INTERLEAVED (round 5): the shared host shows
+    # 3-10x co-tenant swings, and sequential min-of-3 blocks let a noisy
+    # window inflate exactly one of the two plans (BENCH_r04 recorded a
+    # 2.29x verdict/violations ratio that a controlled A/B attributed to
+    # load).  Alternating rounds hit both plans with the same conditions;
+    # all samples land in the record so the distribution is auditable.
     # verdicts_fast_path IS the 'exploded' strategy since round 3 (the
-    # default flipped per BENCH_r02: exploded 1.06s vs prefilter 6.03s)
-    timed("verdicts_fast_path", lambda: _force(verdicts_df), repeat=3)
+    # default flipped per BENCH_r02: exploded 1.06s vs prefilter 6.03s).
+    rounds = int(os.environ.get("SPARK_GRAFT_HEADLINE_ROUNDS", "5"))
+    samples: dict[str, list[float]] = {"verdicts_fast_path": [],
+                                       "violations_full": []}
+
+    def _one(frame) -> float:
+        t0 = time.perf_counter()
+        _force(frame)
+        return time.perf_counter() - t0
+
+    for r in range(rounds):
+        pair = [("violations_full", violations_df),
+                ("verdicts_fast_path", verdicts_df)]
+        if r % 2:
+            pair.reverse()  # alternate order: neither always pays first
+        for name, frame in pair:
+            samples[name].append(round(_one(frame), 3))
+    for name, ss in samples.items():
+        timings[name] = min(ss)
     timed("verdicts_hof", lambda: _force(verdicts_hof_df), repeat=2)
     timed("verdicts_prefilter", lambda: _force(verdicts_pf_df), repeat=2)
-    timed("violations_full", lambda: _force(violations_df), repeat=3)
     timed("partition_rollup", lambda: rollup_df.collect(), repeat=2)
 
     # representative entry queries at the raw sf (no amplification);
@@ -122,6 +141,9 @@ def main() -> None:
         "spans_per_sec": round(n_spans / flagship_sec, 1),
         "docs_per_sec_verdict_only": round(
             n_docs / timings["verdicts_fast_path"], 1),
+        "verdict_violations_ratio": round(
+            timings["verdicts_fast_path"] / timings["violations_full"], 2),
+        "headline_samples": samples,
         "cpus": cpus,
         "replicate": replicate,
     }
