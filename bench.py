@@ -94,7 +94,7 @@ def main() -> None:
     # all samples land in the record so the distribution is auditable.
     # verdicts_fast_path IS the 'exploded' strategy since round 3 (the
     # default flipped per BENCH_r02: exploded 1.06s vs prefilter 6.03s).
-    rounds = int(os.environ.get("SPARK_GRAFT_HEADLINE_ROUNDS", "5"))
+    rounds = int(os.environ.get("SPARK_GRAFT_HEADLINE_ROUNDS", "7"))
     samples: dict[str, list[float]] = {"verdicts_fast_path": [],
                                        "violations_full": []}
 
@@ -103,6 +103,10 @@ def main() -> None:
         _force(frame)
         return time.perf_counter() - t0
 
+    # full warm pass for the headline pair (cold codegen + page-cache fill
+    # would otherwise burn an entire round)
+    _one(violations_df)
+    _one(verdicts_df)
     for r in range(rounds):
         pair = [("violations_full", violations_df),
                 ("verdicts_fast_path", verdicts_df)]

@@ -304,9 +304,19 @@ def verdicts(df: DataFrame, compiled: CompiledSpec,
     for n, key in enumerate(by_array):
         group = by_array[key]
         arr = _group_array(df, key, group, root)
+        # doc-scope predicates evaluate BEFORE the explode (round 5): one
+        # boolean per document instead of carrying the full root struct —
+        # including the entire spans array — through Generate into every
+        # exploded row's buffer
+        pre = []
+        if n == 0 and doc_cs:
+            doc_bad0 = F.lit(False)
+            for c in doc_cs:
+                doc_bad0 = doc_bad0 | ~F.coalesce(c.pred(root),
+                                                  F.lit(True))
+            pre = [doc_bad0.alias("_docbad")]
         ex = df.select(
-            *ids,
-            *([root.alias("_root")] if n == 0 and doc_cs else []),
+            *ids, *pre,
             F.posexplode_outer(arr).alias("_pos", "_elem"),
         )
         x, i = F.col("_elem"), F.col("_pos")
@@ -316,11 +326,7 @@ def verdicts(df: DataFrame, compiled: CompiledSpec,
                          & ~F.coalesce(c.pred(x, i), F.lit(True)))
         if n == 0 and doc_cs:
             first = i.isNull() | (i == 0)
-            doc_bad = F.lit(False)
-            for c in doc_cs:
-                doc_bad = doc_bad | ~F.coalesce(
-                    c.pred(F.col("_root")), F.lit(True))
-            bad = bad | (first & doc_bad)
+            bad = bad | (first & F.col("_docbad"))
         # agg-input pre-filter: frame 0 keeps each doc's first row (the id
         # universe — posexplode_outer guarantees one per doc) + violating
         # rows; later frames keep violating rows only (their ids are
@@ -339,9 +345,11 @@ def verdicts(df: DataFrame, compiled: CompiledSpec,
     all_rows = frames[0]
     for fr in frames[1:]:
         all_rows = all_rows.unionByName(fr)
+    # boolean max ≡ any(): one comparison per row in the combiner instead
+    # of cast+sum (round 5)
     return (
         all_rows.groupBy(*id_cols)
-        .agg((F.sum(F.col("_bad").cast("int")) == 0).alias("valid"))
+        .agg((~F.max("_bad")).alias("valid"))
     )
 
 

@@ -26,6 +26,14 @@ def get_spark(app: str = "jsonschema_rs_spark", cores: int | str = "*",
         .master(f"local[{cores_s}]")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce small shuffles by DATA SIZE, not parallelism: the
+        # verdict/rollup aggregations shuffle O(docs+violations) narrow
+        # rows — splitting a few MB across 32 reducers is pure task-launch
+        # latency.  Large shuffles still split on
+        # advisoryPartitionSizeInBytes, so 100-TB-scale stages keep full
+        # parallelism (round 5).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
