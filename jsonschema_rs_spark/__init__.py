@@ -18,6 +18,11 @@ Three execution modes mirror the reference's dual ``is_valid``/``validate``/
                     (analogue of ``validate``/``iter_errors``).
 - ``rollup``      — per-partition pass/fail + counters
                     (analogue of ``apply().basic()`` aggregation).
+
+Round 5 adds the ARBITRARY-JSON path (``json_ingest``): raw JSON-string
+columns validate through Spark 4's VARIANT type without a pre-typed table
+— the analogue of the reference accepting any parsed JSON value
+(``validator.rs:29-33``).
 """
 
 from jsonschema_rs_spark.spec import SpecError, resolve_refs
@@ -35,6 +40,11 @@ from jsonschema_rs_spark.plans.validate import (
     partition_rollup,
 )
 from jsonschema_rs_spark.retriever import fetch_resources
+from jsonschema_rs_spark.json_ingest import (
+    JsonIngestUnsupported,
+    json_valid_column,
+    validate_json_strings,
+)
 
 __all__ = [
     "SpecError",
@@ -49,6 +59,9 @@ __all__ = [
     "violations",
     "partition_rollup",
     "fetch_resources",
+    "JsonIngestUnsupported",
+    "json_valid_column",
+    "validate_json_strings",
 ]
 
 __version__ = "0.1.0"
