@@ -91,6 +91,17 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagship_rollup(spark, sf_dir)
 
 
+def q_flagship_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``is_valid`` fast path as a value-level oracle (round 5): the
+    DEFAULT single-scan exploded-agg verdict plan under the full flagship
+    spec — per-doc boolean, analogue of reference ``validator.rs:28-89``."""
+    from jsonschema_rs_spark.flagship import FLAGSHIP_SPEC
+    from jsonschema_rs_spark.plans.validate import verdicts as _verdicts
+
+    df = derive_spans(spark, sf_dir)
+    return _verdicts(df, compile_spec(FLAGSHIP_SPEC, df.schema))
+
+
 def _kw_violations(spark, sf_dir, spec) -> DataFrame:
     df = derive_spans(spark, sf_dir)
     return violations(df, compile_spec(spec, df.schema))
@@ -719,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_violations": q_flagship,
         "verdict_rollup": q_rollup,
+        "flagship_verdicts": q_flagship_verdicts,
         "kw_enum": q_kw_enum,
         "kw_minimum": q_kw_minimum,
         "kw_multiple_of": q_kw_multiple_of,
@@ -816,6 +828,14 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "flagship_violations": SPANS_CTE_SQL + _FLAGSHIP_VIOLATIONS_SELECT,
+        "flagship_verdicts": SPANS_CTE_SQL + f"""
+, v AS ({_FLAGSHIP_VIOLATIONS_SELECT})
+, d AS (
+    SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id
+    FROM documents
+)
+SELECT doc_id, doc_id NOT IN (SELECT doc_id FROM v) AS valid FROM d
+""",
         "verdict_rollup": SPANS_CTE_SQL + f"""
 , v AS ({_FLAGSHIP_VIOLATIONS_SELECT})
 , vc AS (SELECT doc_id, count(*) AS c FROM v GROUP BY doc_id)
