@@ -2288,6 +2288,9 @@ def _sniff_draft(schema: Any) -> int | None:
     ``options.rs:58-82`` / ``keywords/mod.rs:177-391``)."""
     if isinstance(schema, dict):
         uri = schema.get("$schema") or ""
+        if not isinstance(uri, str):
+            # fuzz-found (round 5): {"$schema": true} crashed the sniffer
+            raise SpecError(f"$schema expects a URI string, got {uri!r}")
         for frag, d in _DRAFT_URIS:
             if frag in uri:
                 return d
