@@ -18,12 +18,16 @@ and only at doc scope).  Variant parse + path extraction are JVM
 expressions, so the plan stays embarrassingly parallel in input splits
 exactly like the typed ``violations`` plan.
 
-Unsupported constructs raise :class:`JsonIngestUnsupported` at compile
-time (never at action time): ``unevaluatedProperties``/``unevaluatedItems``
-(their static-claims analysis is typed-table-shaped), ECMA patterns that
-compile in neither java.util.regex nor — inside HOF lambdas — at all, and
-pandas-UDF formats under an array/map lambda (no per-element Python).
-Callers (the suite harness) fall back to the typed path for those.
+``unevaluatedProperties``/``unevaluatedItems`` lower natively (round 5):
+in expression land the 2020-12 annotation algebra — claims count only
+from schema objects that were APPLIED and whose claim keywords VALIDATED
+— composes directly as per-row gate Columns, bound once per row via a
+single-element transform.  The few remaining unsupported constructs
+raise :class:`JsonIngestUnsupported` at compile time (never at action
+time): ECMA patterns that java.util.regex rejects (no Python fallback
+inside HOF lambdas) and pandas-UDF formats under an array/map lambda
+(no per-element Python).  Callers (the suite harness) fall back to the
+typed path for those.
 """
 
 from __future__ import annotations
@@ -179,6 +183,15 @@ def _or_all(preds: list[Column]) -> Column:
     return out
 
 
+def _gand(a, b) -> Column:
+    """Conjunction where None = unconditionally true (claim-source gates)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return F.coalesce(a, F.lit(False)) & F.coalesce(b, F.lit(False))
+
+
 def _java_pattern(pat: str, where: str) -> str:
     java = ecma_to_java(pat)
     if java is None:
@@ -302,11 +315,6 @@ class _JsonLowerer:
             return cells, pred
         if not isinstance(schema, dict):
             raise SpecError(f"schema must be dict/bool, got {schema!r}")
-        if "unevaluatedProperties" in schema or "unevaluatedItems" in schema:
-            raise JsonIngestUnsupported(
-                "unevaluatedProperties/unevaluatedItems static-claims "
-                "analysis is not lowered on the variant path; use the "
-                "typed engine")
 
         t = jv.tag
         preds: list[Column] = []
@@ -619,10 +627,140 @@ class _JsonLowerer:
             present = F.map_contains_key(m, F.lit(k))
             v = self._sub_valid(sub, jv, path + ("dependentSchemas", k))
             emit(path + ("dependentSchemas", k), gate(~present | v))
+        ue = schema.get("unevaluatedProperties")
+        if isinstance(ue, (dict, bool)) and self._since(2019):
+            srcs = self._prop_claim_sources(schema, jv, path)
+            bound = F.struct(*([
+                (F.coalesce(g, F.lit(False)) if g is not None
+                 else F.lit(True)).alias(f"g{j}")
+                for j, (g, _, _, _) in enumerate(srcs)
+            ] or [F.lit(False).alias("g_")]))
+
+            def _claimed(b, k):
+                c = F.lit(False)
+                for j, (_, names, pats, allc) in enumerate(srcs):
+                    cj = F.lit(allc)
+                    if names:
+                        cj = cj | k.isin(*names)
+                    for pj in pats:
+                        cj = cj | k.rlike(pj)
+                    c = c | (b.getField(f"g{j}") & cj)
+                return c
+
+            entries = F.map_entries(m)
+            p = F.element_at(F.transform(F.array(bound), lambda b: F.forall(
+                entries,
+                lambda e: _claimed(b, e.getField("key"))
+                | self._sub_valid(ue, JV(e.getField("value")),
+                                  path + ("unevaluatedProperties",)))), 1)
+            emit(path + ("unevaluatedProperties",), gate(p))
 
     def _sub_valid(self, sub, sub_jv, path) -> Column:
         _, v = self.lower(sub, sub_jv, path, in_lambda=True)
         return v
+
+    # -- unevaluated* claim sources (runtime annotation algebra) -----------
+    #
+    # In the variant lowering everything is already a per-row Column, so
+    # the 2020-12 rule — annotations count only from schema objects that
+    # were APPLIED and whose claim keywords VALIDATED — composes directly:
+    # each source carries a gate Column (branch-applied AND claim-keyword
+    # validity), bound ONCE per row via a single-element transform so the
+    # per-key/per-position lambdas read booleans (the typed engine's
+    # word_shingles trick).
+
+    def _claim_walk(self, schema, jv, path, add):
+        """Walk in-place applicators, calling ``add(s, gate, p)`` for every
+        schema object applied to this instance location (gate None = root,
+        unconditionally applied)."""
+
+        def walk(s, gate, p):
+            if not isinstance(s, dict):
+                return
+            add(s, gate, p)
+            for idx, sub in enumerate(s.get("allOf", []) or []):
+                walk(sub, gate, p + ("allOf", str(idx)))
+            if isinstance(s.get("if"), (dict, bool)):
+                cif = self._sub_valid(s["if"], jv, p + ("if",))
+                walk(s["if"], _gand(gate, cif), p + ("if",))
+                if isinstance(s.get("then"), (dict, bool)):
+                    gt = _gand(_gand(gate, cif),
+                               self._sub_valid(s["then"], jv,
+                                               p + ("then",)))
+                    walk(s["then"], gt, p + ("then",))
+                if isinstance(s.get("else"), (dict, bool)):
+                    ge = _gand(_gand(gate, ~F.coalesce(cif, F.lit(False))),
+                               self._sub_valid(s["else"], jv,
+                                               p + ("else",)))
+                    walk(s["else"], ge, p + ("else",))
+            for kw in ("anyOf", "oneOf"):
+                for idx, sub in enumerate(s.get(kw, []) or []):
+                    bp = p + (kw, str(idx))
+                    walk(sub, _gand(gate, self._sub_valid(sub, jv, bp)),
+                         bp)
+            for k, sub in (s.get("dependentSchemas") or {}).items():
+                present = F.map_contains_key(jv.m, F.lit(k))
+                bp = p + ("dependentSchemas", k)
+                walk(sub, _gand(_gand(gate, present),
+                                self._sub_valid(sub, jv, bp)), bp)
+
+        walk(schema, None, path)
+
+    def _prop_claim_sources(self, schema, jv, path):
+        """[(gate Column|None, names, java_pats, claims_all)] for
+        unevaluatedProperties on this object node."""
+        from jsonschema_rs_spark.compiler import _prop_claim_subset
+
+        out: list = []
+
+        def add(s, gate, p):
+            names = tuple(s.get("properties") or {})
+            pats = tuple(_java_pattern(pt, "/".join(p))
+                         for pt in (s.get("patternProperties") or {}))
+            allc = isinstance(s.get("additionalProperties"),
+                              (dict, bool)) or (
+                s is not schema and isinstance(
+                    s.get("unevaluatedProperties"), (dict, bool)))
+            if not (names or pats or allc):
+                return
+            subset = _prop_claim_subset(s)
+            if subset is not None:
+                gate = _gand(gate, self._sub_valid(subset, jv, p))
+            out.append((gate, names, pats, allc))
+
+        self._claim_walk(schema, jv, path, add)
+        return out
+
+    def _items_claim_sources(self, schema, jv, path):
+        """[(gate Column|None, n_prefix, claims_all)] for unevaluatedItems
+        on this array node."""
+        from jsonschema_rs_spark.compiler import _items_claim_subset
+
+        out: list = []
+
+        def add(s, gate, p):
+            nb, ab = 0, False
+            it = s.get("items")
+            if isinstance(it, (dict, bool)):
+                ab = True
+            if isinstance(it, list):
+                nb = max(nb, len(it))
+            if isinstance(s.get("prefixItems"), list):
+                nb = max(nb, len(s["prefixItems"]))
+            if isinstance(s.get("additionalItems"), (dict, bool)):
+                ab = True
+            if s is not schema and isinstance(s.get("unevaluatedItems"),
+                                              (dict, bool)):
+                ab = True
+            if not (nb or ab):
+                return
+            subset = _items_claim_subset(s)
+            if subset is not None:
+                gate = _gand(gate, self._sub_valid(subset, jv, p))
+            out.append((gate, nb, ab))
+
+        self._claim_walk(schema, jv, path, add)
+        return out
 
     # -- array keywords ----------------------------------------------------
 
@@ -687,6 +825,36 @@ class _JsonLowerer:
             canon = F.transform(a, lambda el: _canon(JV(el)))
             emit(path + ("uniqueItems",),
                  gate(F.size(F.array_distinct(canon)) == F.size(a)))
+        ue = schema.get("unevaluatedItems")
+        if isinstance(ue, (dict, bool)) and self._since(2019):
+            srcs = self._items_claim_sources(schema, jv, path)
+            cont = schema.get("contains") if self._since(6) else None
+            n_col, a_col = F.lit(0), F.lit(False)
+            for g, nb, ab in srcs:
+                gg = F.lit(True) if g is None else F.coalesce(g,
+                                                              F.lit(False))
+                if ab:
+                    a_col = a_col | gg
+                elif nb:
+                    n_col = F.greatest(
+                        n_col, F.when(gg, F.lit(nb)).otherwise(F.lit(0)))
+            bound = F.struct(n_col.alias("n"), a_col.alias("a"))
+
+            def _cell(b, el, i):
+                claimed = b.getField("a") | (i < b.getField("n"))
+                if isinstance(cont, (dict, bool)):
+                    claimed = claimed | F.coalesce(
+                        self._sub_valid(cont, JV(el), path + ("contains",)),
+                        F.lit(False))
+                return claimed | F.coalesce(
+                    self._sub_valid(ue, JV(el),
+                                    path + ("unevaluatedItems",)),
+                    F.lit(False))
+
+            p = F.element_at(F.transform(F.array(bound), lambda b: F.forall(
+                F.transform(a, lambda el, i: _cell(b, el, i)),
+                lambda xx: xx)), 1)
+            emit(path + ("unevaluatedItems",), gate(p))
 
 # --------------------------------------------------------------------------
 # public API

@@ -111,12 +111,39 @@ def test_json_verdicts_mode(spark):
 
 
 def test_json_unsupported_raises_at_compile(spark):
-    with pytest.raises(JsonIngestUnsupported, match="unevaluated"):
-        json_valid_column(F.lit("{}"), {"unevaluatedProperties": False})
     # pattern that compiles in Python re but not java.util.regex: the
     # typed engine would stage a Python fallback; the variant path cannot
     with pytest.raises(JsonIngestUnsupported, match="pattern"):
         json_valid_column(F.lit("{}"), {"pattern": r"(?P<x>a)(?P=x)"})
+
+
+def test_json_unevaluated_runtime_annotations(spark):
+    """unevaluated* on the variant path: full RUNTIME annotation algebra
+    (claims from applied-and-valid sources only), per 2020-12."""
+    got = _valids(spark, {
+        "anyOf": [{"required": ["a"], "properties": {"a": {"minimum": 0}}},
+                  {"required": ["b"]}],
+        "unevaluatedProperties": False,
+    }, [{"a": 1}, {"a": -1}, {"b": 2}, {"c": 3}], draft=2020)
+    # {"b": 2}: required produces NO annotation — only properties/
+    # patternProperties/additionalProperties claim — so b stays
+    # unevaluated and the doc is invalid
+    assert got == [True, False, False, False]
+    got = _valids(spark, {
+        "if": {"minItems": 2}, "then": {"prefixItems": [True, True]},
+        "unevaluatedItems": False,
+    }, [[1, 2], [1, 2, 3], [], [1]], draft=2020)
+    assert got == [True, False, True, False]
+    # contains claims matched items; failing prefix claim drops (round 5)
+    got = _valids(spark, {
+        "contains": {"type": "string"},
+        "unevaluatedItems": {"type": "integer"},
+    }, [["s", 1], ["s", 1.5]], draft=2020)
+    assert got == [True, False]
+    got = _valids(spark, {"prefixItems": [{"type": "integer"}],
+                          "unevaluatedItems": False},
+                  [[1], ["x"]], draft=2020)
+    assert got == [True, False]
 
 
 def test_json_content_draft7(spark):

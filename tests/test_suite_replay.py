@@ -13,11 +13,12 @@ provenance) through BOTH ingestion paths:
   This path has no typed-representability limits: JSON null, mixed-type
   arrays, >int64 integers, draft-4 literal forms, and structural ``$ref``
   all evaluate natively.
-* FALLBACK: cases the variant path cannot lower (``unevaluated*``,
-  java-incompatible patterns — it raises ``JsonIngestUnsupported`` at
-  compile time) replay through the original typed-table path: instances
-  are inferred into a typed ``value`` column, schemas wrapped as
-  ``{"properties": {"value": S}}`` with defs hoisted.
+* FALLBACK: cases the variant path cannot lower (java-incompatible
+  patterns, pandas-UDF formats in lambdas — it raises
+  ``JsonIngestUnsupported`` at compile time; ``unevaluated*`` lowers
+  natively since late round 5) replay through the original typed-table
+  path: instances are inferred into a typed ``value`` column, schemas
+  wrapped as ``{"properties": {"value": S}}`` with defs hoisted.
 
 Typed-path exclusions (now applying ONLY to fallback cases) keep their
 named reasons:
