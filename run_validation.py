@@ -29,6 +29,10 @@ def main(argv=None) -> int:
                             "basic"])
     p.add_argument("--part-col", default="part_key")
     p.add_argument("--id-cols", default="doc_id")
+    p.add_argument("--json-col",
+                   help="treat this column as RAW JSON text and validate "
+                        "through the variant-native path (arbitrary JSON, "
+                        "no pre-typed table; modes: violations/verdicts)")
     p.add_argument("--out", help="output dir (violation rows parquet)")
     p.add_argument("--manifest", help="checkpoint manifest dir (resumable)")
     p.add_argument("--sketch-cols", default="",
@@ -60,8 +64,34 @@ def main(argv=None) -> int:
         df = spark.read.format("iceberg").load(args.table)
     else:
         df = spark.read.parquet(args.table)
-    compiled = compile_spec(spec, df.schema)
     id_cols = tuple(args.id_cols.split(","))
+
+    if args.json_col:
+        # arbitrary-JSON path (reference validator.rs:29-33): raw JSON
+        # strings through the variant lowering — no typed compile
+        from jsonschema_rs_spark.json_ingest import validate_json_strings
+
+        if args.mode == "violations":
+            out = validate_json_strings(df, args.json_col, spec,
+                                        id_cols=id_cols)
+            if args.out:
+                out.write.mode("overwrite").parquet(args.out)
+            else:
+                for row in out.limit(100).collect():
+                    print(json.dumps(row.asDict()))
+            return 0
+        if args.mode == "verdicts":
+            out = validate_json_strings(df, args.json_col, spec,
+                                        id_cols=id_cols, mode="verdicts")
+            total = out.count()
+            valid = out.filter("valid").count()
+            print(json.dumps(
+                {"docs": total, "valid": valid,
+                 "result": "VALID" if valid == total else "INVALID"}))
+            return 0 if valid == total else 1
+        p.error("--json-col supports --mode violations|verdicts")
+
+    compiled = compile_spec(spec, df.schema)
 
     if args.mode == "violations":
         out = violations(df, compiled, id_cols=id_cols)
