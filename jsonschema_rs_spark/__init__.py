@@ -25,7 +25,8 @@ columns validate through Spark 4's VARIANT type without a pre-typed table
 (``validator.rs:29-33``).
 """
 
-from jsonschema_rs_spark.spec import SpecError, resolve_refs
+from jsonschema_rs_spark.spec import (SpecError, resolve_refs,
+                                      strip_internal_markers)
 from jsonschema_rs_spark.compiler import (
     CompiledConstraint,
     CompiledSpec,
@@ -49,6 +50,7 @@ from jsonschema_rs_spark.json_ingest import (
 __all__ = [
     "SpecError",
     "resolve_refs",
+    "strip_internal_markers",
     "CompiledConstraint",
     "CompiledSpec",
     "EngineOptions",

@@ -598,3 +598,18 @@ def validate_spec(schema: Any, custom_keywords: set[str] = frozenset()) -> None:
         elif k in ("allOf", "anyOf", "oneOf", "prefixItems"):
             for sub in v:
                 validate_spec(sub, custom_keywords)
+
+
+def strip_internal_markers(schema: Any) -> Any:
+    """A deep copy of a RESOLVED schema without the engine's internal
+    provenance keys (``$__abs__`` — absoluteKeywordLocation provenance,
+    ``$__lenient__`` — bounded-unroll marker), for consumers that
+    re-serialize or structurally compare ``CompiledSpec.schema``
+    (round-5 ADVICE: the markers are an implementation detail of the
+    resolved tree, not schema content)."""
+    if isinstance(schema, dict):
+        return {k: strip_internal_markers(v) for k, v in schema.items()
+                if k not in ("$__abs__", "$__lenient__")}
+    if isinstance(schema, list):
+        return [strip_internal_markers(v) for v in schema]
+    return schema

@@ -146,3 +146,16 @@ def test_id_in_enum_data_not_a_resource():
             "$defs": {"x": {"enum": [{"$id": "urn:fake", "minimum": 1}]}},
             "properties": {"p": {"$ref": "urn:fake"}},
         })
+
+
+def test_strip_internal_markers():
+    from jsonschema_rs_spark.spec import strip_internal_markers
+
+    out = resolve_refs({
+        "$defs": {"t": {"minLength": 4}},
+        "properties": {"p": {"$ref": "#/$defs/t"}},
+    })
+    assert "$__abs__" in out["properties"]["p"]
+    clean = strip_internal_markers(out)
+    assert clean["properties"]["p"] == {"minLength": 4}
+    assert out["properties"]["p"].get("$__abs__")  # original untouched
