@@ -94,7 +94,7 @@ def main() -> None:
     # all samples land in the record so the distribution is auditable.
     # verdicts_fast_path IS the 'exploded' strategy since round 3 (the
     # default flipped per BENCH_r02: exploded 1.06s vs prefilter 6.03s).
-    rounds = int(os.environ.get("SPARK_GRAFT_HEADLINE_ROUNDS", "7"))
+    rounds = int(os.environ.get("SPARK_GRAFT_HEADLINE_ROUNDS", "11"))
     samples: dict[str, list[float]] = {"verdicts_fast_path": [],
                                        "violations_full": []}
 
@@ -116,6 +116,18 @@ def main() -> None:
             samples[name].append(round(_one(frame), 3))
     for name, ss in samples.items():
         timings[name] = min(ss)
+    # verdict/violations ratio: the PAIRED estimator.  Co-tenant load is
+    # round-correlated (the two plans run back-to-back inside a round), so
+    # the per-round ratio cancels it; the median of per-round ratios is
+    # robust where min(verdict)/min(violations) compares two DIFFERENT
+    # load windows and can report an arbitrary number under a volatile
+    # host (each round's pair shares its window; the mins usually don't).
+    per_round = sorted(
+        v / f for v, f in zip(samples["verdicts_fast_path"],
+                              samples["violations_full"]))
+    paired_ratio = per_round[len(per_round) // 2] if len(per_round) % 2 \
+        else (per_round[len(per_round) // 2 - 1]
+              + per_round[len(per_round) // 2]) / 2
     timed("verdicts_hof", lambda: _force(verdicts_hof_df), repeat=2)
     timed("verdicts_prefilter", lambda: _force(verdicts_pf_df), repeat=2)
     timed("partition_rollup", lambda: rollup_df.collect(), repeat=2)
@@ -147,6 +159,11 @@ def main() -> None:
             n_docs / timings["verdicts_fast_path"], 1),
         "verdict_violations_ratio": round(
             timings["verdicts_fast_path"] / timings["violations_full"], 2),
+        # paired per-round median — auxiliary load-robust estimator (see
+        # the comment at the measurement site): under co-tenant load the
+        # two mins can come from different load windows; the paired
+        # median shows the back-to-back steady-state relation
+        "verdict_violations_ratio_paired": round(paired_ratio, 2),
         "headline_samples": samples,
         "cpus": cpus,
         "replicate": replicate,
