@@ -307,6 +307,19 @@ def _obs_str(dt: DataType) -> Callable[[Column], Column]:
 # keyword lowerings (value-level; each returns pred over the node instance)
 # --------------------------------------------------------------------------
 
+
+def _as_double(v) -> float:
+    """float(v), saturating to ±inf for integers beyond float range
+    (fuzz-found OverflowError on 10**400-scale bounds — comparisons
+    against an unrepresentable bound degrade gracefully to ±inf)."""
+    try:
+        return float(v)
+    except OverflowError:
+        import math
+
+        return math.inf if v > 0 else -math.inf
+
+
 def _bound_pred(v, op: str, dt: DataType) -> Callable[[Column], Column]:
     """min/max/exclusive bound comparison, EXACT past 2^53.
 
@@ -324,7 +337,7 @@ def _bound_pred(v, op: str, dt: DataType) -> Callable[[Column], Column]:
         # beyond what a decimal(38) literal can carry: double compare is
         # the best available (documented residual; the reference's u64/i64
         # range tops out at 2^64 anyway)
-        return lambda x, _op=op, _fv=float(v): getattr(x, _op)(F.lit(_fv))
+        return lambda x, _op=op, _fv=_as_double(v): getattr(x, _op)(F.lit(_fv))
     if exact_int and abs(v) >= 10 ** 31 and isinstance(dt, _FRACTIONALS) \
             and not (isinstance(dt, DecimalType) and dt.scale == 0):
         # beyond decimal(38,6)'s 32 integer digits the NEAR-bound compare
@@ -333,7 +346,7 @@ def _bound_pred(v, op: str, dt: DataType) -> Callable[[Column], Column]:
         # out at 2^64 ≈ 1.8e19 — round 5 moved this down from 1e37: bounds
         # in [1e31, 1e37) used to take the decimal path whose 1e31
         # far-guard was unsound for values near such a bound)
-        return lambda x, _op=op, _fv=float(v): getattr(x, _op)(F.lit(_fv))
+        return lambda x, _op=op, _fv=_as_double(v): getattr(x, _op)(F.lit(_fv))
     if exact_int and abs(v) > 2 ** 53 and isinstance(dt, _FRACTIONALS) \
             and not (isinstance(dt, DecimalType) and dt.scale == 0):
         from decimal import Decimal
@@ -411,6 +424,25 @@ def _lower_type(value: Any, dt: DataType,
     return pred
 
 
+def _num_literal(v, dt: DataType):
+    """A literal Spark can carry for numeric equality against ``dt`` —
+    integers beyond int64 have no long literal (fuzz-found
+    NumberFormatException): impossible on integral columns (None = can
+    never match), exact decimal on wide-enough decimal columns, double
+    on fractional columns."""
+    if isinstance(v, int) and not isinstance(v, bool) and abs(v) >= 2 ** 63:
+        if isinstance(dt, DecimalType):
+            from decimal import Decimal
+
+            if len(str(abs(v))) <= dt.precision - dt.scale:
+                return Decimal(v)
+            return None
+        if isinstance(dt, _INTEGRALS):
+            return None
+        return _as_double(v)
+    return v
+
+
 def _json_eq(dt: DataType, v: Any) -> Callable[[Column], Column]:
     """Equality with a literal under JSON semantics (reference
     ``keywords/helpers.rs:19-38``: 1 == 1.0 across representations — native
@@ -424,7 +456,10 @@ def _json_eq(dt: DataType, v: Any) -> Callable[[Column], Column]:
         return lambda x: F.lit(False)
     if isinstance(v, (int, float)):
         if _is_numeric(dt):
-            return lambda x: x == F.lit(v)
+            lv = _num_literal(v, dt)
+            if lv is None:
+                return lambda x: F.lit(False)
+            return lambda x, _lv=lv: x == F.lit(_lv)
         return lambda x: F.lit(False)
     if isinstance(v, str):
         if isinstance(dt, StringType):
@@ -461,17 +496,16 @@ def _lower_enum(values: list, dt: DataType) -> Callable[[Column], Column]:
     """Reference ``keywords/enum_.rs:108-129`` — type-bitmap prefilter is the
     static-type split below; single-value specialization falls out of isin."""
     if not isinstance(dt, (StructType, ArrayType, MapType)):
-        compat = [
-            v
-            for v in values
-            if (isinstance(v, str) and isinstance(dt, StringType))
-            or (isinstance(v, bool) and isinstance(dt, BooleanType))
-            or (
-                isinstance(v, (int, float))
-                and not isinstance(v, bool)
-                and _is_numeric(dt)
-            )
-        ]
+        compat = []
+        for v in values:
+            if (isinstance(v, str) and isinstance(dt, StringType)) \
+                    or (isinstance(v, bool) and isinstance(dt, BooleanType)):
+                compat.append(v)
+            elif isinstance(v, (int, float)) and not isinstance(v, bool) \
+                    and _is_numeric(dt):
+                lv = _num_literal(v, dt)
+                if lv is not None:
+                    compat.append(lv)
         has_null = any(v is None for v in values)
         if not compat:
             if has_null:
@@ -501,7 +535,9 @@ def _multiple_of_decimal(k: Any):
 
     if isinstance(k, bool) or not isinstance(k, (int, float)):
         return None
-    kd = Decimal(repr(float(k)))
+    # integers exact (repr(float()) would round past 2^53); floats via
+    # their canonical shortest decimal rendering
+    kd = Decimal(k) if isinstance(k, int) else Decimal(repr(float(k)))
     tup = kd.as_tuple()
     frac_digits = max(-tup.exponent, 0)
     int_digits = len(tup.digits) - frac_digits
@@ -519,13 +555,17 @@ def _lower_multiple_of(k: Any, dt: DataType) -> Callable[[Column], Column]:
     59``) kept for everything that does not round-trip."""
     if not _is_numeric(dt):
         return _true
-    if isinstance(k, int) and isinstance(dt, _INTEGRALS):
+    if isinstance(k, int) and isinstance(dt, _INTEGRALS) \
+            and abs(k) < 2 ** 63:
+        # beyond int64 a long literal cannot exist (fuzz-found
+        # NumberFormatException); such divisors take the decimal/double
+        # path below
         return lambda x: x % F.lit(k) == 0
     kd = _multiple_of_decimal(k)
 
     def pred(x: Column) -> Column:
         xf = x.cast("double")
-        r = xf / F.lit(float(k))
+        r = xf / F.lit(_as_double(k))
         approx = F.abs(r - F.round(r, 0)) < F.lit(1e-9)
         if kd is None:
             return approx

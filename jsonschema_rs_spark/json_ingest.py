@@ -38,7 +38,7 @@ from typing import Any, Callable, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from jsonschema_rs_spark.compiler import _sniff_draft
+from jsonschema_rs_spark.compiler import _as_double, _sniff_draft
 from jsonschema_rs_spark.functions.ecma import ecma_to_java
 from jsonschema_rs_spark.functions.formats import FORMATS, FORMATS_PY
 from jsonschema_rs_spark.metaschema import validate_against_metaschema
@@ -209,12 +209,14 @@ def _jeq(jv, lit: Any) -> Column:
         return t == "null"
     if isinstance(lit, bool):
         return (t == "boolean") & (jv.b == F.lit(lit))
-    if isinstance(lit, int) and abs(lit) > 2 ** 53:
-        # exact big-integer equality via decimal (1e15-scale doubles lie)
+    if isinstance(lit, int) and 2 ** 53 < abs(lit) < 10 ** 37:
+        # exact big-integer equality via decimal (1e15-scale doubles lie);
+        # beyond 37 digits no decimal literal exists — double equality is
+        # the documented residual there
         return (t == "integer") & (jv.ndec == F.lit(Decimal(lit)))
     if isinstance(lit, (int, float)):
         # 1 == 1.0 per JSON Schema numeric equality
-        return t.isin("integer", "number") & (jv.nd == F.lit(float(lit)))
+        return t.isin("integer", "number") & (jv.nd == F.lit(_as_double(lit)))
     if isinstance(lit, str):
         return (t == "string") & (jv.s == F.lit(lit))
     if isinstance(lit, list):
@@ -430,9 +432,9 @@ class _JsonLowerer:
         if isinstance(bound, int) and not isinstance(bound, bool) \
                 and 2 ** 53 < abs(bound) < 10 ** 37:
             dec = getattr(jv.ndec, op)(F.lit(Decimal(bound)))
-            dbl = getattr(jv.nd, op)(F.lit(float(bound)))
+            dbl = getattr(jv.nd, op)(F.lit(_as_double(bound)))
             return F.when(jv.tag == "integer", dec).otherwise(dbl)
-        return getattr(jv.nd, op)(F.lit(float(bound)))
+        return getattr(jv.nd, op)(F.lit(_as_double(bound)))
 
     def _numeric(self, schema, jv, t, path, emit):
         num = t.isin("integer", "number")
@@ -465,7 +467,7 @@ class _JsonLowerer:
             q = schema["multipleOf"]
             from jsonschema_rs_spark.compiler import _multiple_of_decimal
 
-            ratio = jv.nd / F.lit(float(q))
+            ratio = jv.nd / F.lit(_as_double(q))
             approx = F.abs(ratio - F.round(ratio, 0)) < F.lit(1e-9)
             kd = _multiple_of_decimal(q)
             if kd is not None:
@@ -478,9 +480,13 @@ class _JsonLowerer:
                 flt = F.when(exact, xd % F.lit(kd) == 0).otherwise(approx)
             else:
                 flt = approx
-            if isinstance(q, int) and not isinstance(q, bool):
+            if isinstance(q, int) and not isinstance(q, bool) \
+                    and abs(q) < 10 ** 37:
+                # decimal modulo keeps integer-tagged values exact past
+                # 2^53; a >37-digit divisor cannot be a decimal literal
+                # (fuzz-found), so it falls to the double path
                 p = F.when(jv.tag == "integer",
-                           jv.ndec % F.lit(q) == 0).otherwise(flt)
+                           jv.ndec % F.lit(Decimal(q)) == 0).otherwise(flt)
             else:
                 p = flt
             emit(path + ("multipleOf",), gate(p))

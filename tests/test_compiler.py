@@ -752,3 +752,29 @@ def test_uneval_claims_gated_on_subschema_validity(spark):
     assert ("arr/unevaluatedItems/minimum", 1) in gota["a3"], gota["a3"]
     assert not any(c == "arr/unevaluatedItems" and i == 0
                    for c, i in gota["a3"]), gota["a3"]
+
+
+def test_huge_integer_literals_never_crash(spark):
+    """Fuzz-found (round 5): integers beyond int64 have no long literal
+    and beyond float range no double — multipleOf/enum/const/bounds with
+    10**40 / 10**400 must compile and evaluate gracefully on both
+    engines, never raise NumberFormatException/OverflowError."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_rs_spark.json_ingest import json_valid_column
+    from jsonschema_rs_spark.plans.validate import validation_frame
+
+    specs = [{"multipleOf": 10 ** 40}, {"maximum": 10 ** 400},
+             {"minimum": -(10 ** 400)}, {"enum": [10 ** 40, 5]},
+             {"const": 10 ** 40}]
+    for dt in ("long", "double"):
+        val = 5 if dt == "long" else 5.0
+        df = spark.createDataFrame([("a", val)], f"doc_id string, n {dt}")
+        for s in specs:
+            c = compile_spec({"properties": {"n": s}}, df.schema)
+            row = validation_frame(df, c, mode="verdicts").collect()[0]
+            assert row["valid"] in (True, False)
+    out = spark.range(1).select(*[
+        json_valid_column(F.lit("5"), s).alias(f"v{i}")
+        for i, s in enumerate(specs)]).collect()[0]
+    assert all(out[f"v{i}"] in (True, False) for i in range(len(specs)))
