@@ -435,6 +435,11 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
             return resolved
         if "$ref" in schema:
             ref = schema["$ref"]
+            if not isinstance(ref, str):
+                # fuzz-found (round 5): a non-string $ref crashed the
+                # resolver with AttributeError
+                raise SpecError(f"$ref expects a URI-reference string, "
+                                f"got {ref!r}")
             new_dyn = _dyn
             new_res, new_base = None, None
             cur_doc = _res if _res is not None else root
@@ -596,6 +601,10 @@ def validate_spec(schema: Any, custom_keywords: set[str] = frozenset()) -> None:
                 for sub in v:
                     validate_spec(sub, custom_keywords)
         elif k in ("allOf", "anyOf", "oneOf", "prefixItems"):
+            if k == "prefixItems" and not isinstance(v, list):
+                # fuzz-found (round 5): non-list prefixItems crashed the
+                # recursion (allOf/anyOf/oneOf are list-checked above)
+                raise SpecError(f"prefixItems expects a list, got {v!r}")
             for sub in v:
                 validate_spec(sub, custom_keywords)
 
