@@ -549,13 +549,16 @@ def q_ds_unique(spark, sf_dir):
 
 
 def q_ds_ref_integrity(spark, sf_dir):
+    """Catalog = the distinct refs whose numeric id isn't 0 mod 16 (planted
+    holes).  The catalog is defined over the fact side's own key universe,
+    so ``catalog_pred`` derives both anti-join sides from ONE aggregated
+    subtree — the plan reuses the exchange and scans the input once
+    instead of twice (round 6)."""
     fs = flat_spans(spark, sf_dir)
     refs = fs.filter(F.col("media_ref").isNotNull())
-    catalog = (
-        refs.select("media_ref").distinct()
-        .filter(F.substring("media_ref", 9, 12).cast("int") % 16 != 0)
-    )
-    return DS.referential_violations(refs, "media_ref", catalog, "media_ref")
+    return DS.referential_violations(
+        refs, "media_ref",
+        catalog_pred=lambda c: F.substring(c, 9, 12).cast("int") % 16 != 0)
 
 
 def q_ds_ref_orders(spark, sf_dir):
@@ -585,18 +588,12 @@ def q_ds_ks_drift(spark, sf_dir):
 
 
 def q_txt_stats(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        T.token_count(t).cast("bigint").alias("n_tokens"),
-        T.wordpiece_count(t).cast("bigint").alias("n_wordpieces"),
-        F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(T.mean_word_len(t), 6).alias("mean_word_len"),
-        F.round(T.quality_score(t), 2).alias("quality"),
-        T.lang_guess(t).alias("lang_guess"),
-        T.fingerprint(t).alias("fp"),
-    )
+    """Fused staged-projection stats pass (round 6): same values as the
+    per-metric Columns, with normalize/split/stopword-filter intermediates
+    computed once per row instead of up to 8x (they are interpreted
+    CodegenFallback HOFs, so runtime CSE never rescued the composed
+    form)."""
+    return T.stats_frame(_docs(spark, sf_dir), "doc_id", "text")
 
 
 def q_dedup_exact(spark, sf_dir):

@@ -106,3 +106,84 @@ def fingerprint(text: Column) -> Column:
     (A rolling/polynomial hash would not be reproducible across engines;
     md5 is, and is just as usable as an exact-dup key.)"""
     return F.md5(normalize(text))
+
+
+def stats_frame(df, id_col: str = "doc_id", text_col: str = "text"):
+    """All text stats in one pass with STAGED shared subexpressions
+    (round 6).
+
+    Composing the per-metric Columns directly repeats the expensive
+    intermediates — ``normalize`` (a regex replace), the word split, and
+    the per-language stopword filters — up to 8x per row, and the
+    higher-order ``aggregate``/``filter`` calls run interpreted
+    (CodegenFallback), so nothing de-duplicates them at runtime.  Staging
+    each expensive intermediate as a named column in its own projection
+    computes it once: Catalyst's CollapseProject keeps a projection
+    boundary when a non-trivial alias is consumed more than once.
+
+    Values are bit-identical to the composed form — every downstream
+    expression is the same tree, just reading the intermediate through an
+    attribute."""
+    t = F.col(text_col)
+    sw = STOPWORDS
+    staged = (
+        df.select(
+            F.col(id_col),
+            t.alias("_t"),
+            normalize(t).alias("_norm"),
+            token_count(t).alias("_n_tok"),
+            punct_ratio(t).alias("_p"),
+            wordpiece_count(t).alias("_n_wp"),
+        )
+        .select(
+            id_col, "_t", "_norm", "_n_tok", "_p", "_n_wp",
+            F.split(F.col("_norm"), " ").alias("_ws"),
+        )
+        .select(
+            id_col, "_norm", "_n_tok", "_p", "_n_wp",
+            F.aggregate(F.col("_ws"), F.lit(0).cast("double"),
+                        lambda acc, w: acc + F.length(w)).alias("_wlen"),
+            F.size(F.col("_ws")).alias("_n_ws"),
+            # single-arg lambda via a factory: pyspark dispatches HOF
+            # lambdas on arity, so a default arg would bind the index
+            *[
+                F.size(F.filter(F.col("_ws"),
+                                (lambda _w_list: lambda w: w.isin(*_w_list))(
+                                    sw[lang])))
+                .alias(f"_{lang}")
+                for lang in ("en", "de", "fr")
+            ],
+        )
+        .select(
+            id_col, "_norm", "_n_tok", "_p", "_n_wp", "_en", "_de", "_fr",
+            (F.col("_wlen")
+             / F.greatest(F.col("_n_ws"), F.lit(1))).alias("_mwl"),
+        )
+    )
+    n = F.col("_n_tok")
+    p = F.col("_p")
+    mw = F.col("_mwl")
+    en, de, fr = F.col("_en"), F.col("_de"), F.col("_fr")
+    s = en / F.greatest(n, F.lit(1))
+    quality = (
+        ((n >= 5) & (n <= 100_000)).cast("double") * 0.4
+        + (p < 0.3).cast("double") * 0.2
+        + (s > 0.01).cast("double") * 0.2
+        + ((mw >= 2.0) & (mw <= 12.0)).cast("double") * 0.2
+    )
+    lang = (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return staged.select(
+        id_col,
+        n.cast("bigint").alias("n_tokens"),
+        F.col("_n_wp").cast("bigint").alias("n_wordpieces"),
+        F.round(p, 6).alias("punct_ratio"),
+        F.round(mw, 6).alias("mean_word_len"),
+        F.round(quality, 2).alias("quality"),
+        lang.alias("lang_guess"),
+        F.md5(F.col("_norm")).alias("fp"),
+    )

@@ -169,23 +169,40 @@ def uniqueness_violations(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
 def referential_violations(
     fact: DataFrame,
     ref_col: str,
-    catalog: DataFrame,
-    catalog_key: str,
+    catalog: DataFrame | None = None,
+    catalog_key: str | None = None,
     broadcast_catalog: bool = True,
+    catalog_pred=None,
 ) -> DataFrame:
     """Non-null ``ref_col`` values missing from the catalog.
 
-    Distinct-first shrinks the probe side before the join; the catalog is
-    broadcast when small (dimension-table shape) so the 100-TB fact side
-    never shuffles."""
-    refs = fact.select(F.col(ref_col).alias("media_ref")).filter(
-        F.col("media_ref").isNotNull()
+    Aggregate-first (round 6): the per-key count runs BEFORE the anti-join
+    (map-side combinable, so the shuffle carries one (key, count) row per
+    map task per key), and the anti-join probes only O(distinct keys) rows
+    instead of every fact row.  An anti-join removes whole key groups, so
+    count-then-anti-join ≡ anti-join-then-count.  The catalog is broadcast
+    when small (dimension-table shape) so the fact side never shuffles
+    through the join.
+
+    ``catalog_pred`` (round 6): when the catalog is *defined over the
+    fact's own key universe* (``catalog = distinct refs WHERE pred``), pass
+    the predicate (Column -> Column) instead of a frame — both join sides
+    then derive from the SAME aggregated subtree, so the physical plan
+    reuses one exchange and the input is scanned once instead of twice."""
+    counts = (
+        fact.select(F.col(ref_col).alias("media_ref"))
+        .filter(F.col("media_ref").isNotNull())
+        .groupBy("media_ref")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
     )
-    cat = catalog.select(F.col(catalog_key).alias("media_ref")).distinct()
+    if catalog_pred is not None:
+        cat = counts.select("media_ref").filter(
+            catalog_pred(F.col("media_ref")))
+    else:
+        cat = catalog.select(F.col(catalog_key).alias("media_ref")).distinct()
     if broadcast_catalog:
         cat = F.broadcast(cat)
-    dangling = refs.join(cat, "media_ref", "left_anti")
-    return dangling.groupBy("media_ref").agg(F.count(F.lit(1)).alias("n_refs"))
+    return counts.join(cat, "media_ref", "left_anti")
 
 
 # --------------------------------------------------------------------------

@@ -540,8 +540,12 @@ def violations(df: DataFrame, compiled: CompiledSpec,
                 doc_any = doc_any | ~F.coalesce(
                     c.pred(F.col("_root")), F.lit(True))
             keep = keep | (first & doc_any)
+        # explode_OUTER on a never-empty cell array (one cell per
+        # constraint): identical rows, but a plain explode lets
+        # InferFiltersFromGenerate clone the whole cell-array expression
+        # into an extra Filter evaluated per surviving row (round 6)
         stacked = ex.filter(keep).select(
-            *ids, F.explode(stack_arr).alias("v")
+            *ids, F.explode_outer(stack_arr).alias("v")
         ).filter(F.col("v").isNotNull())
         branches.append(stacked)
 
@@ -558,18 +562,22 @@ def violations(df: DataFrame, compiled: CompiledSpec,
             ).limit(0)
         # build the cell array in a projection BELOW the explode so the
         # CreateStruct(root) collapses there and column pruning reaches the
-        # scan (a generator expression blocks SimplifyExtractValueOps)
-        doc_any = F.lit(False)
-        for c in doc_cs:
-            doc_any = doc_any | ~F.coalesce(c.pred(root), F.lit(True))
+        # scan (a generator expression blocks SimplifyExtractValueOps).
+        # explode_OUTER, and no pre-explode row filter: a plain explode lets
+        # InferFiltersFromGenerate synthesize `size(_vs) > 0`, and any
+        # pre-Generate filter is pushed below the projection AND the
+        # ingest repartition — substituting the full violation-cell
+        # expression into a scan-side Filter, where it re-evaluates the
+        # whole constraint chain per row on the unsplit input (round 6:
+        # 12.1s -> 2.5s on kw_unique_items).  The post-Generate isNotNull
+        # filter cannot be pushed below its own generator.
         vs = F.array(*doc_cells(root)) if doc_plain else None
         for pa in pos_cell_arrays(root):
             vs = pa if vs is None else F.concat(vs, pa)
         stacked = (
-            df.select(*ids, doc_any.alias("_any"), vs.alias("_vs"))
-            .filter(F.col("_any"))
+            df.select(*ids, vs.alias("_vs"))
             .select(*[F.col(c) for c in id_cols],
-                    F.explode(F.col("_vs")).alias("v"))
+                    F.explode_outer(F.col("_vs")).alias("v"))
             .filter(F.col("v").isNotNull())
         )
         branches = [stacked]
@@ -917,7 +925,10 @@ def annotation_units(df: DataFrame, compiled: CompiledSpec,
                     F.when(first, pa).otherwise(
                         F.expr("array()").cast(unit_t)))
         branches.append(
-            ex.select(*ids, F.explode(stack_arr).alias("v"))
+            # explode_outer: blocks InferFiltersFromGenerate duplicating
+            # the unit array into a per-span-row filter (cell array is
+            # never empty, so rows are identical to a plain explode)
+            ex.select(*ids, F.explode_outer(stack_arr).alias("v"))
             .filter(F.col("v").isNotNull())
         )
     if not branches:
@@ -935,9 +946,12 @@ def annotation_units(df: DataFrame, compiled: CompiledSpec,
         for pa in pos_unit_arrays(root):
             vs = pa if vs is None else F.concat(vs, pa)
         branches = [
+            # explode_outer: see the violations() doc-only branch — a plain
+            # explode invites InferFiltersFromGenerate to clone the unit
+            # array into a pushed-down scan-side filter
             df.select(*ids, vs.alias("_vs"))
             .select(*[F.col(c) for c in id_cols],
-                    F.explode(F.col("_vs")).alias("v"))
+                    F.explode_outer(F.col("_vs")).alias("v"))
             .filter(F.col("v").isNotNull())
         ]
     out = branches[0]

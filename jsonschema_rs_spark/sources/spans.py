@@ -58,6 +58,45 @@ SPAN_TABLE_SCHEMA = StructType(
 )
 
 
+def _span_field_exprs(raw: Column, j: Column, w: Column) -> dict[str, Column]:
+    """The shared span-derivation arithmetic (docstring rules) as Columns.
+
+    Used by BOTH the array-building ``derive_spans`` (inside the transform
+    lambda, where ``j``/``w`` are lambda variables) and the flattened
+    ``flat_spans`` (where they are exploded columns) so the two sources can
+    never drift."""
+    m = (raw * 31 + j) % 101
+    kind = (
+        F.when(m % 13 == 0, F.lit("video"))
+        .when(m % 7 == 0, F.lit("image"))
+        .when(m % 11 == 0, F.lit("audio"))
+        .otherwise(F.lit("text"))
+    )
+    return {
+        "kind": kind,
+        "text": F.when(kind == "text", w),
+        "media_ref": F.when(
+            kind != "text",
+            F.concat(F.lit("media://"),
+                     ((raw * 97 + j * 13) % 4096).cast("string")),
+        ),
+        "offset": F.when(m == 17, -j).otherwise((j - 1) * 8).cast("int"),
+    }
+
+
+def _split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet spread across cores when it arrives under-split.
+
+    The single-file (single-row-group) sandbox parquet yields 1-2 scan
+    splits, starving every core; real 100-TB inputs arrive pre-split and
+    skip the shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par // 2:
+        docs = docs.repartition(par)
+    return docs
+
+
 def derive_spans(spark: SparkSession, sf_dir: str,
                  replicate: int = 1) -> DataFrame:
     """Span table derived from ``{sf_dir}/documents.parquet``.
@@ -65,13 +104,7 @@ def derive_spans(spark: SparkSession, sf_dir: str,
     ``replicate > 1`` amplifies volume deterministically for benchmarking:
     each source doc is cloned with shifted ids (doc_id stays unique).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # the single-file parquet arrives as 1-2 splits; spread the (cheap) raw
-    # text across all cores before the span construction (real 100-TB inputs
-    # are pre-split, so this shuffle exists only for the synthetic source)
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par // 2:
-        docs = docs.repartition(par)
+    docs = _split_docs(spark, sf_dir)
     if replicate > 1:
         docs = docs.crossJoin(
             spark.range(replicate).select(F.col("id").alias("rep"))
@@ -86,26 +119,8 @@ def derive_spans(spark: SparkSession, sf_dir: str,
     words = F.split(F.col("text"), " ")
 
     def span(w: Column, i: Column) -> Column:
-        j = i + F.lit(1)
-        m = (raw * 31 + j) % 101
-        kind = (
-            F.when(m % 13 == 0, F.lit("video"))
-            .when(m % 7 == 0, F.lit("image"))
-            .when(m % 11 == 0, F.lit("audio"))
-            .otherwise(F.lit("text"))
-        )
-        return F.struct(
-            kind.alias("kind"),
-            F.when(kind == "text", w).alias("text"),
-            F.when(
-                kind != "text",
-                F.concat(F.lit("media://"),
-                         ((raw * 97 + j * 13) % 4096).cast("string")),
-            ).alias("media_ref"),
-            F.when(m == 17, -j).otherwise((j - 1) * 8)
-            .cast("int")
-            .alias("offset"),
-        )
+        fields = _span_field_exprs(raw, i + F.lit(1), w)
+        return F.struct(*[c.alias(n) for n, c in fields.items()])
 
     return docs.select(
         F.format_string("doc-%012d", raw).alias("doc_id"),
@@ -149,17 +164,26 @@ spans AS (
 
 def flat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The derived table flattened to one row per span (mirror of the oracle
-    CTE's ``spans``), for queries whose natural shape is per-span."""
-    df = derive_spans(spark, sf_dir)
-    s = F.posexplode(F.col("spans")).alias("span_index", "s")
-    return df.select("doc_id", "part_key", s).select(
-        "doc_id",
-        "part_key",
-        F.col("span_index").cast("int").alias("span_index"),
-        F.col("s.kind").alias("kind"),
-        F.col("s.text").alias("text"),
-        F.col("s.media_ref").alias("media_ref"),
-        F.col("s.offset").alias("offset"),
+    CTE's ``spans``), for queries whose natural shape is per-span.
+
+    Explodes the WORD LIST and derives span fields as plain projections over
+    the exploded rows (round 6): array higher-order functions are
+    CodegenFallback in Spark, so building the struct array with ``transform``
+    only to flatten it again paid an interpreted per-element lambda for
+    every span.  Same rows (``_span_field_exprs`` is shared with
+    ``derive_spans``), full whole-stage codegen."""
+    docs = _split_docs(spark, sf_dir)
+    raw = F.col("_raw")
+    ex = docs.select(
+        F.col("doc_id").alias("_raw"),
+        F.posexplode(F.split(F.col("text"), " ")).alias("_i", "_w"),
+    )
+    fields = _span_field_exprs(raw, F.col("_i") + F.lit(1), F.col("_w"))
+    return ex.select(
+        F.format_string("doc-%012d", raw).alias("doc_id"),
+        (raw % 32).cast("int").alias("part_key"),
+        F.col("_i").cast("int").alias("span_index"),
+        *[c.alias(n) for n, c in fields.items()],
     )
 
 
