@@ -40,9 +40,14 @@ def _ensure_splits(spark: SparkSession, df: DataFrame) -> DataFrame:
     every core; a real 100-TB input arrives pre-split and must NOT be
     full-shuffled on ingest (round-2 baked an unconditional repartition in
     here — wrong reflex at scale, and a suspect in the BENCH_r02 entry-query
-    regressions)."""
+    regressions).  Round 6: split count estimated from file-index size
+    statistics (``est_scan_splits``) — the old ``df.rdd.getNumPartitions()``
+    probe forced physical planning + an RDD conversion (~0.7s driver stall)
+    per query build."""
+    from jsonschema_rs_spark.session import est_scan_splits
+
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    if est_scan_splits(df) < par:
         return df.repartition(par)
     return df
 
@@ -602,8 +607,13 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    """broadcast_shingle_hashes (round 6): this corpus's shingle vocabulary
+    is ~28k distinct under ~2.7M instances at sf1.0, so the per-distinct
+    hash dictionary broadcasts trivially and removes ~99% of the md5
+    work.  Identical pairs (same hash values, same minima)."""
     return DD.minhash_lsh_pairs(_corpus(spark, sf_dir), "doc_id", "text",
-                                n=3, n_hashes=16, bands=4)
+                                n=3, n_hashes=16, bands=4,
+                                broadcast_shingle_hashes=True)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):

@@ -62,18 +62,27 @@ def cosine_topk(
 
     The query side is broadcast (ANN queries are a dimension table); the
     corpus is scanned once; ranking shuffles only (query_id, vec_id, cos)
-    triples.  Deterministic tie-break on vec_id."""
+    triples.  Deterministic tie-break on vec_id.
+
+    Norms are HOISTED below the join (round 6): ``norm`` folds the vector
+    with an interpreted HOF, so computing it inside the per-pair cosine
+    paid it Q times per corpus row (and per band-candidate in the ANN
+    paths).  Each side computes its own norm once; the join cannot inline
+    projections across itself, so the hoist survives optimization.  The
+    per-pair expression is the same dot / (norm_a * norm_b) tree reading
+    the factors through attributes — bit-identical results."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
-    )
+    ).select("vec_id", "v", norm(F.col("v")).alias("_nv"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
-    )
+    ).select("query_id", "qv", norm(F.col("qv")).alias("_nq"))
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        cosine(F.col("v"), F.col("qv")).alias("cos"),
+        (dot(F.col("v"), F.col("qv"))
+         / (F.col("_nv") * F.col("_nq"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
@@ -196,14 +205,24 @@ def lsh_ann_topk(
     # the exchange — at 100 TB of embeddings that dominates the job.  A
     # pair's cos is deterministic across bands, so max() == the value; the
     # ≤`bands`-fold re-scoring stays in codegen and never touches the wire.
+    # hoist _as_double + norm below the join (round 6): interpreted HOF
+    # folds run once per row per side instead of once per band candidate;
+    # same dot/(norm*norm) tree per pair, read through attributes
+    cb = cb.select(
+        "vec_id", "band", "bucket",
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).select("vec_id", "band", "bucket", "_v", norm(F.col("_v")).alias("_nv"))
+    qb = qb.select(
+        "query_id", "band", "bucket", _as_double(F.col("qv")).alias("_qv"),
+    ).select("query_id", "band", "bucket", "_qv",
+             norm(F.col("_qv")).alias("_nq"))
     scored = (
         cb.join(F.broadcast(qb), ["band", "bucket"])
         .select(
             "query_id",
             "vec_id",
-            cosine(_as_double(F.col(vec_col)), _as_double(F.col("qv"))).alias(
-                "cos"
-            ),
+            (dot(F.col("_v"), F.col("_qv"))
+             / (F.col("_nv") * F.col("_nq"))).alias("cos"),
         )
         .groupBy("query_id", "vec_id")
         .agg(F.max("cos").alias("cos"))
@@ -337,9 +356,17 @@ def ivf_ann_topk(
         "query_id", "qv",
         F.explode(F.col("_probes").getField("cid")).alias("bucket"),
     )
+    # hoisted _as_double + norm per side (round 6) — see lsh_ann_topk
+    cb = cb.select(
+        "vec_id", "bucket", _as_double(F.col(vec_col)).alias("_v"),
+    ).select("vec_id", "bucket", "_v", norm(F.col("_v")).alias("_nv"))
+    qb = qb.select(
+        "query_id", "bucket", _as_double(F.col("qv")).alias("_qv"),
+    ).select("query_id", "bucket", "_qv", norm(F.col("_qv")).alias("_nq"))
     cand = cb.join(F.broadcast(qb), "bucket").select(
         "query_id", "vec_id",
-        cosine(_as_double(F.col(vec_col)), _as_double(F.col("qv"))).alias("cos"),
+        (dot(F.col("_v"), F.col("_qv"))
+         / (F.col("_nv") * F.col("_nq"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
@@ -383,9 +410,17 @@ def near_duplicates_cosine(
         )
         for b in range(bands)
     ]
+    # _as_double + norm computed ONCE per id BEFORE the band explode
+    # (round 6): the interpreted HOF folds would otherwise re-run per band
+    # row and per join candidate; same per-pair expression tree via
+    # attributes, bit-identical cos
+    base = base.select(
+        "id", _as_double(F.col("v")).alias("_vd"), "_sig"
+    ).select("id", "_vd", norm(F.col("_vd")).alias("_nv"), "_sig")
     buckets = base.select(
-        "id", "v", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("id", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "id", "_vd", "_nv", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "_vd", "_nv", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
     # Score inside the bucket join and THRESHOLD before the dedup shuffle:
     # only narrow (id_a, id_b, cos) rows that already pass the threshold
     # cross the exchange, and band duplicates collapse in a map-side
@@ -399,9 +434,8 @@ def near_duplicates_cosine(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine(_as_double(F.col("a.v")), _as_double(F.col("b.v"))).alias(
-                "cos"
-            ),
+            (dot(F.col("a._vd"), F.col("b._vd"))
+             / (F.col("a._nv") * F.col("b._nv"))).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .groupBy("id_a", "id_b")

@@ -284,8 +284,15 @@ def verdicts(df: DataFrame, compiled: CompiledSpec,
         for c in id_cols:
             e = universe[c].eqNullSafe(bad[c])
             cond = e if cond is None else (cond & e)
+        # broadcast the violating-id side (round 6): this strategy's
+        # premise is that violations are RARE (build side proportional to
+        # the violation rate), so the distinct bad-id set is the natural
+        # broadcast side; the sort-merge join it previously got re-shuffled
+        # and sorted the whole id universe on the null-safe key (a second
+        # full exchange of O(docs) rows).  When violations are not rare,
+        # the strategy is already the wrong choice — see the warning above.
         return (
-            universe.join(bad, cond, "left")
+            universe.join(F.broadcast(bad), cond, "left")
             .select(*[universe[c] for c in id_cols],
                     F.col("_bad").isNull().alias("valid"))
         )
@@ -346,14 +353,27 @@ def verdicts(df: DataFrame, compiled: CompiledSpec,
     for fr in frames[1:]:
         all_rows = all_rows.unionByName(fr)
     # Explicit key-repartition sized to the INPUT (one reducer per 16
-    # scan splits, floor 4) — the agg input is O(docs + violations)
+    # input files, floor 4) — the agg input is O(docs + violations)
     # narrow rows, i.e. proportional to input splits, and pinning the
     # reducer count lets the final aggregate run inside the exchange-read
     # stage without an adaptive re-plan barrier: paired A/B on the same
     # load windows measured 0.39s vs 0.64s for the 100k-doc verdict
     # (round 5).  At cluster scale the ratio keeps thousands of reducers
-    # (800k splits for 100 TB → 50k), so the plan still spreads.
-    n_red = max(4, df.rdd.getNumPartitions() // 16)
+    # (800k files for 100 TB → 50k), so the plan still spreads.
+    # Round 6 (ADVICE/VERDICT): sized from the scan's FILE list, not
+    # df.rdd.getNumPartitions() — the .rdd access forced full physical
+    # planning + an RDD conversion on every verdicts() call (an eager
+    # driver stall at plan-BUILD time, file listing included), and for
+    # shuffle-output inputs it reflected the previous shuffle anyway.
+    # inputFiles() only lists files; non-file sources fall back to
+    # defaultParallelism.
+    try:
+        n_in = len(df.inputFiles())
+    except Exception:
+        n_in = 0
+    if n_in == 0:
+        n_in = df.sparkSession.sparkContext.defaultParallelism
+    n_red = max(4, n_in // 16)
     all_rows = all_rows.repartition(n_red, *[F.col(c) for c in id_cols])
     # boolean max ≡ any(): one comparison per row in the combiner instead
     # of cast+sum (round 5)

@@ -90,9 +90,14 @@ def _split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The single-file (single-row-group) sandbox parquet yields 1-2 scan
     splits, starving every core; real 100-TB inputs arrive pre-split and
     skip the shuffle."""
+    from jsonschema_rs_spark.session import est_scan_splits
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par // 2:
+    # stats-based split estimate (round 6): df.rdd.getNumPartitions()
+    # forced physical planning + RDD conversion (~0.7s driver stall) on
+    # EVERY span-source build
+    if est_scan_splits(docs) < par // 2:
         docs = docs.repartition(par)
     return docs
 
