@@ -243,11 +243,22 @@ _CANON_DEPTH = 4
 
 def _canon(jv, depth: int = _CANON_DEPTH) -> Column:
     t = jv.tag
+    # numeric canon (round 6, ADVICE): integer-tagged values render via
+    # the exact decimal(38,0) so big integers beyond 2^53 stay distinct;
+    # number-tagged INTEGRAL doubles render through the same decimal form
+    # so 1 == 1.0 still holds; everything else (fractional, >38-digit)
+    # keeps the double rendering on both tags, preserving equality.
+    int_s = F.coalesce(jv.ndec.cast("string"), jv.nd.cast("string"))
+    flt = jv.nd
+    flt_s = F.coalesce(
+        F.when((flt % F.lit(1.0)) == 0,
+               flt.try_cast("decimal(38,0)").cast("string")),
+        flt.cast("string"))
     scalar = (F.when(t == "null", F.lit("z:"))
               .when(t == "boolean", F.concat(F.lit("b:"),
                                              jv.b.cast("string")))
-              .when(t.isin("integer", "number"),
-                    F.concat(F.lit("n:"), jv.nd.cast("string")))
+              .when(t == "integer", F.concat(F.lit("n:"), int_s))
+              .when(t == "number", F.concat(F.lit("n:"), flt_s))
               .when(t == "string",
                     F.concat(F.lit("s:"), F.length(jv.s).cast("string"),
                              F.lit(":"), jv.s)))
@@ -911,7 +922,12 @@ def validate_json_strings(df: DataFrame, json_col: str, schema: Any,
     lw = _JsonLowerer(draft, options)
     jv = JV(v)
     cells, valid = lw.lower(resolved, jv, ())
-    parse_ok = v.isNotNull() | F.col(json_col).isNull()
+    # SQL-NULL documents are NOT parse_ok (round 6, ADVICE): verdicts mode
+    # already reported them invalid, but violations mode treated NULL as
+    # parsed-and-vacuously-passing and emitted zero rows — the two modes
+    # disagreed on the same input.  A NULL document now yields a
+    # ``json/parse`` violation row (observed NULL: there is no text).
+    parse_ok = v.isNotNull()
     if mode == "verdicts":
         ok = (F.col(json_col).isNotNull() & v.isNotNull()
               & F.coalesce(valid, F.lit(False)))
@@ -935,7 +951,11 @@ def validate_json_strings(df: DataFrame, json_col: str, schema: Any,
     # documents report their failed constraint cells
     all_cells = F.when(~parse_ok, parse_cell).otherwise(
         F.filter(cell_arr, lambda c: ~c.getField("ok")))
-    out = (df.select(*id_cols, F.explode(all_cells).alias("cell"))
+    # explode_OUTER + null filter (round 6): a plain explode lets
+    # InferFiltersFromGenerate clone the whole variant cell array into a
+    # size(...)>0 pre-filter, doubling the constraint evaluation per row
+    out = (df.select(*id_cols, F.explode_outer(all_cells).alias("cell"))
+             .filter(F.col("cell").isNotNull())
              .select(*id_cols,
                      F.col("cell.constraint_id").alias("constraint_id"),
                      F.col("cell.observed").alias("observed")))

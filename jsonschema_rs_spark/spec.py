@@ -331,6 +331,10 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
         if isinstance(schema, dict):
             rid = _resource_id(schema, draft)
             _base = rid if rid is not None else ""
+            # the root document IS the current resource: its own $id is
+            # already reflected in _base, so the generic-descent rebase
+            # below must not re-join it (round 6, ADVICE)
+            _res = schema
             if _base:
                 reg[_base] = schema
             # every embedded $id subschema is an addressable resource
@@ -376,7 +380,17 @@ def resolve_refs(schema: Any, root: Any | None = None, depth: int = 0,
         # exactly as entry via $ref would (round-5 ADVICE: _res was only
         # threaded through $ref entry).
         sid = _resource_id(schema, draft)
-        if sid is not None:
+        if sid is not None and schema is not _res and not (
+                isinstance(_res, dict) and schema == _res):
+            # Re-applying an already-joined $id must be skipped EXPLICITLY,
+            # not by join idempotence: for directory-style ids
+            # ("$id": "folder/") _join(base+folder/, folder/) yields
+            # .../folder/folder/ and every relative ref inside the resource
+            # then dangles (round 6, ADVICE high — suite refRemote
+            # "base URI change - change folder").  Entry via $ref /
+            # _pointer_resource hands the recursion a DEEPCOPY of the
+            # resource, so identity alone can't detect it — the deep
+            # equality against the current resource does.
             nb = _join(_base, sid)
             if nb != _base:
                 _res, _base = schema, nb

@@ -189,3 +189,34 @@ def test_json_multiple_of_decimal_exact(spark):
     got = _valids(spark, {"multipleOf": 2}, [4, 4.0, 5, 2 ** 60 + 2,
                                              2 ** 60 + 1])
     assert got == [True, True, False, True, False]
+
+
+def test_json_null_document_violation_row(spark):
+    """SQL-NULL documents must agree across modes (round 6, ADVICE low):
+    verdicts says invalid, so violations must emit a json/parse row (with
+    NULL observed — there is no text) instead of zero rows."""
+    df = spark.createDataFrame(
+        [("d1", '{"v": 1}'), ("d2", None)], "doc_id string, js string")
+    schema = {"properties": {"v": {"type": "integer"}}}
+    out = validate_json_strings(df, "js", schema)
+    got = {(r["doc_id"], r["constraint_id"]): r["observed"]
+           for r in out.collect()}
+    assert got == {("d2", "json/parse"): None}, got
+    verd = validate_json_strings(df, "js", schema, mode="verdicts")
+    vgot = {r["doc_id"]: r["valid"] for r in verd.collect()}
+    assert vgot == {"d1": True, "d2": False}
+
+
+def test_json_uniqueitems_bigint_exact(spark):
+    """uniqueItems canon (round 6, ADVICE low): integer-tagged values
+    beyond 2^53 must stay distinct (exact decimal rendering), while
+    1 == 1.0 equality is preserved through the shared integral form."""
+    schema = {"uniqueItems": True}
+    got = _valids(spark, schema, [
+        [9007199254740992, 9007199254740993],   # distinct big ints: valid
+        [9007199254740992, 9007199254740992],   # duplicate: invalid
+        [1, 1.0],                               # JSON-equal: invalid
+        [1, 2.0],                               # distinct: valid
+        [1.5, 1.5],                             # duplicate fraction
+    ])
+    assert got == [True, False, False, True, False]

@@ -159,3 +159,29 @@ def test_strip_internal_markers():
     clean = strip_internal_markers(out)
     assert clean["properties"]["p"] == {"minLength": 4}
     assert out["properties"]["p"].get("$__abs__")  # original untouched
+
+
+def test_directory_style_id_not_rejoined_on_entry():
+    """Entering a resource whose $id is DIRECTORY-style ('folder/') via
+    $ref must not re-apply the $id during the descent into the (copied)
+    resource root: _join is not idempotent for directory ids, so the base
+    became .../folder/folder/ and every relative ref inside dangled
+    (round 6, ADVICE high — suite refRemote 'base URI change - change
+    folder')."""
+    root = {
+        "$id": "http://localhost:1234/scope_change_defs1.json",
+        "properties": {"list": {"$ref": "baseUriChangeFolder/"}},
+        "$defs": {
+            "baz": {
+                "$id": "baseUriChangeFolder/",
+                "type": "array",
+                "items": {"$ref": "folderInteger.json"},
+            },
+        },
+    }
+    out = resolve_refs(root, resources={
+        "http://localhost:1234/baseUriChangeFolder/folderInteger.json":
+            {"type": "integer"},
+    })
+    items = out["properties"]["list"]["items"]
+    assert items.get("type") == "integer", out

@@ -429,6 +429,7 @@ def _eval_json_path(spark, case_list, draft_num):
                                                  json_valid_column)
 
     fallback, lowered = [], []
+    compile_failures = []
     for fname, c in case_list:
         try:
             # probe-compile once; reuse the builder per chunk below
@@ -437,9 +438,13 @@ def _eval_json_path(spark, case_list, draft_num):
         except JsonIngestUnsupported:
             fallback.append((fname, c))
             continue
-        except Exception:
-            # typed path surfaces compile errors with its own reporting
-            fallback.append((fname, c))
+        except Exception as e:
+            # any OTHER exception (SpecError included) is a FAILURE, not a
+            # fallback: the old bare-except demoted compile regressions to
+            # the typed path, where ref-heavy cases are skipped — a broken
+            # resolver could never turn the replay red (round 6, ADVICE)
+            compile_failures.append(
+                f"{fname}::{c['description']}: compile error {e!r}")
             continue
         lowered.append((fname, c))
     rows, meta, cols = [], [], []
@@ -472,6 +477,7 @@ def _eval_json_path(spark, case_list, draft_num):
             if g != want:
                 failures.append(f"{tl}: json-path engine={g} "
                                 f"suite-expects={want}")
+    failures.extend(compile_failures)
     return n_run, failures, fallback
 
 
