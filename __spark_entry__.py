@@ -597,8 +597,10 @@ def q_txt_stats(spark, sf_dir):
     per-metric Columns, with normalize/split/stopword-filter intermediates
     computed once per row instead of up to 8x (they are interpreted
     CodegenFallback HOFs, so runtime CSE never rescued the composed
-    form)."""
-    return T.stats_frame(_docs(spark, sf_dir), "doc_id", "text")
+    form).  ``_ensure_splits``: the single-split sandbox parquet otherwise
+    runs the whole regex/HOF projection on ONE core."""
+    return T.stats_frame(_ensure_splits(spark, _docs(spark, sf_dir)),
+                         "doc_id", "text")
 
 
 def q_dedup_exact(spark, sf_dir):

@@ -40,15 +40,25 @@ def token_count(text: Column) -> Column:
 
 def wordpiece_count(text: Column) -> Column:
     """BPE-ish sub-token count: lowercase runs, capitalized runs, digit runs,
-    single punctuation — a cheap, deterministic proxy for tokenizer load."""
-    return F.size(F.regexp_extract_all(text, F.lit(_WORDPIECE_RE), 0))
+    single punctuation — a cheap, deterministic proxy for tokenizer load.
+
+    ``regexp_count`` (round 6): the number of non-overlapping matches,
+    identical to ``size(regexp_extract_all(...))`` by definition, without
+    materializing the match array."""
+    return F.regexp_count(text, F.lit(_WORDPIECE_RE))
 
 
 def punct_ratio(text: Column) -> Column:
-    stripped = F.regexp_replace(text, r"[^\sa-zA-Z0-9]", "")
-    return (F.length(text) - F.length(stripped)) / F.greatest(
-        F.length(text), F.lit(1)
-    )
+    """Share of non-whitespace/non-alnum characters.
+
+    Computed by deleting RUNS of the allowed class and measuring what's
+    left (round 6): every char is either removed (in class) or kept, so
+    ``length(kept)`` is exactly the old ``length(text) -
+    length(regexp_replace(text, '[^class]', ''))`` count — but the
+    ``+``-quantified run form does one regex match per run instead of a
+    match attempt per character (9x on the profiled corpus)."""
+    kept = F.length(F.regexp_replace(text, r"[\sa-zA-Z0-9]+", ""))
+    return kept / F.greatest(F.length(text), F.lit(1))
 
 
 def stopword_hits(text: Column, lang: str) -> Column:
@@ -141,8 +151,11 @@ def stats_frame(df, id_col: str = "doc_id", text_col: str = "text"):
         )
         .select(
             id_col, "_norm", "_n_tok", "_p", "_n_wp",
-            F.aggregate(F.col("_ws"), F.lit(0).cast("double"),
-                        lambda acc, w: acc + F.length(w)).alias("_wlen"),
+            # total word chars == length(norm) - (n_words - 1): norm is the
+            # words joined by single spaces, so the interpreted aggregate
+            # fold is a closed form (integer-exact in double, identical)
+            (F.length(F.col("_norm")) - F.size(F.col("_ws")) + F.lit(1))
+            .cast("double").alias("_wlen"),
             F.size(F.col("_ws")).alias("_n_ws"),
             # single-arg lambda via a factory: pyspark dispatches HOF
             # lambdas on arity, so a default arg would bind the index

@@ -224,7 +224,13 @@ def chi_square_drift(
     for ~8 dof) since p-values need scipy, which stays optional.
     """
     hist = df.groupBy(part_col, cat_col).agg(F.count(F.lit(1)).alias("n"))
-    hist = hist.cache()
+    # lazy localCheckpoint, NOT cache() (round 6): the histogram is reused
+    # by three consumers within this query, but cache() registers the
+    # logical plan in the session CacheManager, where an identical later
+    # build would silently reuse materialized results ACROSS runs —
+    # checkpoint blocks are keyed by this build's RDD, so every fresh
+    # build recomputes from the input
+    hist = hist.localCheckpoint(eager=False)
     global_hist = hist.groupBy(cat_col).agg(F.sum("n").alias("gn"))
     totals = hist.groupBy(part_col).agg(F.sum("n").alias("pn"))
     gtotal = global_hist.agg(F.sum("gn").alias("gt"))
@@ -287,7 +293,8 @@ def ks_drift(
     hist = base.select(F.col(part_col), bucket).groupBy(part_col, "bucket").agg(
         F.count(F.lit(1)).alias("n")
     )
-    hist = hist.cache()
+    # lazy localCheckpoint instead of cache(): see chi_square_drift
+    hist = hist.localCheckpoint(eager=False)
     g = hist.groupBy("bucket").agg(F.sum("n").alias("gn"))
     w_p = Window.partitionBy(part_col).orderBy("bucket")
     w_g = Window.orderBy("bucket")

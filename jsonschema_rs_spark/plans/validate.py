@@ -700,19 +700,25 @@ def error_kind_column(constraint_id: Column,
     keywords take precedence over coincidental keyword-named keys, guarded
     one container level up (a deeper double collision like
     ``properties/properties/required/k`` still misreads — documented)."""
+    # One FLAT multi-branch CaseWhen per classifier (round 6): the old
+    # ``expr = when(c, v).otherwise(expr)`` loop nested 35+ CaseWhens, which
+    # blows codegen and evaluates interpreted per row (1.35s of the 2.1s
+    # basic_output at sf1.0).  First-match-wins ordering is preserved by
+    # listing the previously-OUTERMOST (last-wrapped) overrides first; the
+    # per-keyword equality branches are mutually exclusive, so their
+    # relative order is free.
     if keyword_location is not None:
         segs = F.split(keyword_location, "/")
         kw = F.element_at(segs, -1)
         kw2 = F.when(F.size(segs) >= 2, F.element_at(segs, -2))
-        expr = F.lit("Schema")
-        for k, v in _ERROR_KINDS.items():
-            expr = F.when(kw == k, F.lit(v)).otherwise(expr)
-        # key-terminal containers: a regex / dependency key that happens to
-        # spell a keyword name must not classify as that keyword
+        # key-terminal containers first: a regex / dependency key that
+        # happens to spell a keyword name must not classify as that keyword
+        expr = F.when(kw2 == "prefixItems", F.lit("Items"))
         for k in ("patternProperties", "dependentSchemas"):
-            expr = F.when(kw2 == k, F.lit("Schema")).otherwise(expr)
-        expr = F.when(kw2 == "prefixItems", F.lit("Items")).otherwise(expr)
-        return expr
+            expr = expr.when(kw2 == k, F.lit("Schema"))
+        for k, v in _ERROR_KINDS.items():
+            expr = expr.when(kw == k, F.lit(v))
+        return expr.otherwise(F.lit("Schema"))
     segs = F.split(constraint_id, "/")
     kw = F.element_at(segs, -1)
     # keyed keywords put the key/pattern LAST (required/<key>,
@@ -727,17 +733,18 @@ def error_kind_column(constraint_id: Column,
                  "dependentSchemas", "dependencies"),
         F.lit(False),
     )
-    expr = F.lit("Schema")
-    for k, v in _ERROR_KINDS.items():
-        expr = F.when(kw == k, F.lit(v)).otherwise(expr)
-    # keyed-keyword whens OUTERMOST: required/items is 'Required', not
-    # 'Items' — a key that coincides with a keyword name must not shadow
-    # the keyed keyword that owns it
+    # keyed-keyword branches FIRST (flat chain = first match wins):
+    # required/items is 'Required', not 'Items' — a key that coincides with
+    # a keyword name must not shadow the keyed keyword that owns it
+    expr = None
     for k in ("required", "dependentRequired", "dependentSchemas",
               "patternProperties"):
-        expr = F.when((kw2 == k) & ~kw2_is_name,
-                      F.lit(_ERROR_KINDS.get(k, "Schema"))).otherwise(expr)
-    return expr
+        cond = (kw2 == k) & ~kw2_is_name
+        val = F.lit(_ERROR_KINDS.get(k, "Schema"))
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    for k, v in _ERROR_KINDS.items():
+        expr = expr.when(kw == k, F.lit(v))
+    return expr.otherwise(F.lit("Schema"))
 
 
 def absolute_locations(compiled: CompiledSpec) -> dict:
@@ -783,11 +790,14 @@ def absolute_location_column(compiled: CompiledSpec,
     """Nullable ``absolute_keyword_location`` column from the constant
     per-constraint map (a when-chain over constraint ids — folds to a
     constant per constraint inside codegen)."""
-    expr = F.lit(None).cast("string")
+    expr = None
     for k, v in absolute_locations(compiled).items():
         if v is not None:
-            expr = F.when(cid_col == k, F.lit(v)).otherwise(expr)
-    return expr
+            expr = (F.when(cid_col == k, F.lit(v)) if expr is None
+                    else expr.when(cid_col == k, F.lit(v)))
+    if expr is None:
+        return F.lit(None).cast("string")
+    return expr.otherwise(F.lit(None).cast("string"))
 
 
 def basic_output(df: DataFrame, compiled: CompiledSpec,
@@ -815,8 +825,12 @@ def basic_output(df: DataFrame, compiled: CompiledSpec,
                                F.col("observed"), F.col("span_index")),
             ),
         )
+    # message_column directly (round 6): with_messages() also built the
+    # cid-heuristic kind classifier, which this select immediately
+    # discarded in favor of the location-based one — pure plan-build
+    # (py4j round-trip) waste, same output columns and values
     v = violations(df, compiled, id_cols=id_cols, include_locations=True)
-    return with_messages(v, compiled).select(
+    return v.select(
         *id_cols,
         F.lit(False).alias("valid"),
         F.col("keyword_location"),
@@ -829,7 +843,8 @@ def basic_output(df: DataFrame, compiled: CompiledSpec,
         F.col("constraint_id"),
         F.col("span_index"),
         F.col("observed"),
-        F.col("message"),
+        message_column(compiled, F.col("constraint_id"), F.col("observed"),
+                       F.col("span_index")).alias("message"),
     )
 
 
@@ -1115,19 +1130,26 @@ def message_column(compiled: CompiledSpec | None,
         span_index.isNotNull(),
         F.concat(F.lit(" at span "), span_index.cast("string")),
     ).otherwise(F.lit(""))
-    expr = F.concat(
+    generic = F.concat(
         F.lit("value '"), obs, F.lit("' violates "), kw,
         F.lit(" ("), cid, F.lit(")"), where,
     )
     if compiled is None:
-        return expr
+        return generic
+    # flat CaseWhen (round 6): per-template conditions are mutually
+    # exclusive equalities, so one multi-branch case replaces the nested
+    # when/otherwise tower that fell out of codegen
+    expr = None
     for c_id, (static, pre, suf) in message_templates(compiled).items():
         if static is not None:
             msg = F.concat(F.lit(static), where)
         else:
             msg = F.concat(F.lit(pre), obs, F.lit(suf), where)
-        expr = F.when(cid == c_id, msg).otherwise(expr)
-    return expr
+        expr = (F.when(cid == c_id, msg) if expr is None
+                else expr.when(cid == c_id, msg))
+    if expr is None:
+        return generic
+    return expr.otherwise(generic)
 
 
 def with_messages(viol_df: DataFrame,
