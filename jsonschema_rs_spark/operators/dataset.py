@@ -196,8 +196,15 @@ def referential_violations(
         .agg(F.count(F.lit(1)).alias("n_refs"))
     )
     if catalog_pred is not None:
-        cat = counts.select("media_ref").filter(
-            catalog_pred(F.col("media_ref")))
+        # the always-false `n_refs < 0` disjunct references the AGGREGATED
+        # column, so the optimizer cannot push the catalog predicate below
+        # the aggregate — both join sides then share the identical
+        # partial-agg subtree and the planner reuses one exchange (one
+        # input scan); without it the pushed-down filter forks the catalog
+        # into its own full scan+explode
+        cat = counts.filter(
+            catalog_pred(F.col("media_ref"))
+            | (F.col("n_refs") < F.lit(0))).select("media_ref")
     else:
         cat = catalog.select(F.col(catalog_key).alias("media_ref")).distinct()
     if broadcast_catalog:
