@@ -371,9 +371,15 @@ def verdicts(df: DataFrame, compiled: CompiledSpec,
         n_in = len(df.inputFiles())
     except Exception:
         n_in = 0
+    par = df.sparkSession.sparkContext.defaultParallelism
     if n_in == 0:
-        n_in = df.sparkSession.sparkContext.defaultParallelism
-    n_red = max(4, n_in // 16)
+        n_in = par
+    # one reducer per 4 input files (round 6: the //16 ratio tuned at
+    # sf0.1 starved the 1M-doc agg — reducer sweep at BOTH scales:
+    # sf0.1 {4:0.40, 16:0.37, 32:0.55}s, sf1.0 {4:2.20, 16:1.54,
+    # 32:1.55}s), capped at 16x the cluster parallelism so a
+    # million-file input does not degenerate into scheduler overhead
+    n_red = max(4, min(n_in // 4, 16 * par))
     all_rows = all_rows.repartition(n_red, *[F.col(c) for c in id_cols])
     # boolean max ≡ any(): one comparison per row in the combiner instead
     # of cast+sum (round 5)
