@@ -609,13 +609,14 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """broadcast_shingle_hashes (round 6): this corpus's shingle vocabulary
-    is ~28k distinct under ~2.7M instances at sf1.0, so the per-distinct
-    hash dictionary broadcasts trivially and removes ~99% of the md5
-    work.  Identical pairs (same hash values, same minima)."""
+    """Default per-instance hashing (round 6): the dictionary variant
+    (``broadcast_shingle_hashes``) removes ~99% of the md5 work on this
+    small-vocabulary corpus but pays a localCheckpoint plan-build +
+    materialization that erases the saving end-to-end (interleaved A/B
+    incl. build: plain wins 5/7 rounds, min 4.65s vs 5.33s) — kept as a
+    documented operator option for hash-dominated corpora."""
     return DD.minhash_lsh_pairs(_corpus(spark, sf_dir), "doc_id", "text",
-                                n=3, n_hashes=16, bands=4,
-                                broadcast_shingle_hashes=True)
+                                n=3, n_hashes=16, bands=4)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):

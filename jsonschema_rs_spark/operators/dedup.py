@@ -235,7 +235,12 @@ def minhash_lsh_pairs(
     hash values, same minima, same pairs; cuts the md5 work by the
     duplication factor.  Leave False when the vocabulary is proportional
     to corpus size (generic web text): the dictionary would not fit a
-    broadcast, and the per-instance plan is the scale-safe default."""
+    broadcast, and the per-instance plan is the scale-safe default.
+    Measured caveat (round 6): the sharing localCheckpoint pays its own
+    plan-build + materialization — on the sf1.0 corpus (16 hashes, short
+    shingles) the default plan wins end-to-end (4.65s vs 5.33s incl.
+    build); reach for the dictionary only when hashing dominates (more
+    hash functions, longer shingles, fatter docs)."""
     rows_per_band = n_hashes // bands
     sh = df.select(
         F.col(id_col).alias("id"),

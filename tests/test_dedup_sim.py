@@ -266,3 +266,39 @@ def test_dedup_keepers_removes_chain_members(spark):
                   dedup_keepers(docs, "doc_id", pairs).collect())
     # component {1,2,3} keeps 1; {7,8} keeps 7
     assert kept == [0, 1, 4, 5, 6, 7, 9], kept
+
+
+def test_minhash_broadcast_dictionary_identical_pairs(spark):
+    """Round 6: the distinct-shingle hash dictionary variant must emit
+    EXACTLY the pairs of the default per-instance plan (same md5 values,
+    same minima => same buckets)."""
+    corpus, _ = _corpus(spark)
+    base = {(r["id_a"], r["id_b"]) for r in
+            DD.minhash_lsh_pairs(corpus, "doc_id", "text").collect()}
+    dic = {(r["id_a"], r["id_b"]) for r in
+           DD.minhash_lsh_pairs(corpus, "doc_id", "text",
+                                broadcast_shingle_hashes=True).collect()}
+    assert base == dic and base
+
+
+def test_word_shingles_zip_construction(spark):
+    """Round 6: zip_with+slice shingles must equal the definitional
+    n-gram set (distinct, first-occurrence order, incomplete tails
+    dropped)."""
+    rows = [("a b c d",), ("x y",), ("p q r p q r p q r",), ("solo",),
+            ("  Mixed   CASE  words here  ",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r["sh"] for r in
+           df.select(DD.word_shingles(F.col("text"), 3).alias("sh")).collect()]
+
+    def expected(t):
+        ws = " ".join(t.lower().split()).split(" ")
+        out, seen = [], set()
+        for i in range(len(ws) - 2):
+            s = " ".join(ws[i:i + 3])
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
+
+    assert got == [expected(t) for (t,) in rows]
