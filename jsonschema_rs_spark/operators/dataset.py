@@ -221,6 +221,7 @@ def chi_square_drift(
     cat_col: str,
     part_col: str,
     threshold: float = 27.0,
+    materialize_hist: bool = True,
 ) -> DataFrame:
     """χ² statistic per partition vs the GLOBAL category distribution.
 
@@ -236,8 +237,11 @@ def chi_square_drift(
     # logical plan in the session CacheManager, where an identical later
     # build would silently reuse materialized results ACROSS runs —
     # checkpoint blocks are keyed by this build's RDD, so every fresh
-    # build recomputes from the input
-    hist = hist.localCheckpoint(eager=False)
+    # build recomputes from the input.  materialize_hist=False keeps the
+    # plan transparent (exchange reuse still dedupes the shared agg) —
+    # measured slightly slower, available for plan inspection/debugging.
+    if materialize_hist:
+        hist = hist.localCheckpoint(eager=False)
     global_hist = hist.groupBy(cat_col).agg(F.sum("n").alias("gn"))
     totals = hist.groupBy(part_col).agg(F.sum("n").alias("pn"))
     gtotal = global_hist.agg(F.sum("gn").alias("gt"))
@@ -266,6 +270,7 @@ def ks_drift(
     n_bins: int = 64,
     threshold: float = 0.15,
     bounds: tuple[float, float] | None = None,
+    materialize_hist: bool = True,
 ) -> DataFrame:
     """Approximate two-sample KS per partition vs the global distribution.
 
@@ -301,7 +306,8 @@ def ks_drift(
         F.count(F.lit(1)).alias("n")
     )
     # lazy localCheckpoint instead of cache(): see chi_square_drift
-    hist = hist.localCheckpoint(eager=False)
+    if materialize_hist:
+        hist = hist.localCheckpoint(eager=False)
     g = hist.groupBy("bucket").agg(F.sum("n").alias("gn"))
     w_p = Window.partitionBy(part_col).orderBy("bucket")
     w_g = Window.orderBy("bucket")

@@ -82,16 +82,24 @@ def test_ks_with_spec_bounds_single_scan_same_result(spark, tmp_path):
     flat_spans(spark, SF).write.mode("overwrite").parquet(path)
     fs = spark.read.parquet(path)
     lo, hi = fs.agg(F.min("offset"), F.max("offset")).collect()[0]
-    bounded = DS.ks_drift(fs, "offset", "part_key", bounds=(float(lo), float(hi)))
-    derived = DS.ks_drift(fs, "offset", "part_key")
+    # materialize_hist=False: the localCheckpoint boundary (round 6) hides
+    # the subtree behind a LogicalRDD, so the scan-count assertion needs
+    # the transparent plan; values are asserted on the default plans below
+    bounded = DS.ks_drift(fs, "offset", "part_key",
+                          bounds=(float(lo), float(hi)),
+                          materialize_hist=False)
+    derived = DS.ks_drift(fs, "offset", "part_key", materialize_hist=False)
     # bounds remove the min/max pre-pass entirely: fewer scans, no extra agg
     n_bounded = bounded._jdf.queryExecution().executedPlan().toString().count(
         "FileScan")
     n_derived = derived._jdf.queryExecution().executedPlan().toString().count(
         "FileScan")
     assert n_bounded < n_derived, (n_bounded, n_derived)
-    a = {(r["part_key"], round(r["ks_stat"], 9)) for r in bounded.collect()}
-    b = {(r["part_key"], round(r["ks_stat"], 9)) for r in derived.collect()}
+    bounded_d = DS.ks_drift(fs, "offset", "part_key",
+                            bounds=(float(lo), float(hi)))
+    derived_d = DS.ks_drift(fs, "offset", "part_key")
+    a = {(r["part_key"], round(r["ks_stat"], 9)) for r in bounded_d.collect()}
+    b = {(r["part_key"], round(r["ks_stat"], 9)) for r in derived_d.collect()}
     assert a == b
 
 
