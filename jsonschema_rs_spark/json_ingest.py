@@ -918,7 +918,15 @@ def validate_json_strings(df: DataFrame, json_col: str, schema: Any,
     cannot be validated at all).
     """
     resolved, draft, options = _compile_json(schema, options)
-    v = F.try_parse_json(F.col(json_col))
+    # stage the parsed VARIANT once per row (round 6): every constraint
+    # cell dereferences the document, and composing them over the raw
+    # try_parse_json expression inlined the parse dozens of times per row
+    # in the final projection; a named intermediate keeps a projection
+    # boundary (CollapseProject will not merge a non-trivial alias with
+    # multiple consumers), so the parse runs once
+    keep = list(id_cols) + ([json_col] if json_col not in id_cols else [])
+    df = df.select(*keep, F.try_parse_json(F.col(json_col)).alias("__jv"))
+    v = F.col("__jv")
     lw = _JsonLowerer(draft, options)
     jv = JV(v)
     cells, valid = lw.lower(resolved, jv, ())
