@@ -895,13 +895,21 @@ def _compile_json(schema: Any, options=None):
     return resolved, draft, options
 
 
-def json_valid_column(js: Column, schema: Any, options=None) -> Column:
+def json_valid_column(js: Column, schema: Any, options=None,
+                      parsed: Column | None = None) -> Column:
     """Boolean validity of a raw JSON-string Column under ``schema`` —
     the arbitrary-JSON analogue of ``plans.validate.valid_column``.
     Malformed JSON (unparseable) is invalid; SQL NULL input is invalid
-    (there is no document)."""
+    (there is no document).
+
+    ``parsed`` (round 6): an already-``try_parse_json``-ed VARIANT column
+    to validate instead of re-parsing ``js``.  The constraint chain
+    dereferences the document many times, and when several schemas
+    validate the same column in one projection (suite replay, multi-spec
+    gates) a caller-staged parse keeps it at one parse per row instead of
+    one per reference."""
     resolved, draft, options = _compile_json(schema, options)
-    v = F.try_parse_json(js)
+    v = parsed if parsed is not None else F.try_parse_json(js)
     _, valid = _JsonLowerer(draft, options).lower(resolved, JV(v), ())
     return v.isNotNull() & F.coalesce(valid, F.lit(False))
 

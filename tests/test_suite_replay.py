@@ -460,12 +460,18 @@ def _eval_json_path(spark, case_list, draft_num):
     failures, n_run = [], 0
     if cols:
         df = spark.createDataFrame(rows, "rid long, js string")
+        # stage the parse ONCE per row (round 6): every schema column
+        # dereferences the document many times, and composing them over
+        # raw try_parse_json re-parsed per reference per schema
+        df = df.select("rid", "js",
+                       F.try_parse_json(F.col("js")).alias("__jv"))
         chunk_size = 60
         got: dict[tuple[int, int], bool] = {}
         for start in range(0, len(cols), chunk_size):
             chunk = cols[start:start + chunk_size]
             sel = df.select("rid", *[
-                json_valid_column(F.col("js"), s, _opts(draft_num))
+                json_valid_column(F.col("js"), s, _opts(draft_num),
+                                  parsed=F.col("__jv"))
                 .alias(f"c{start + k}")
                 for k, s in enumerate(chunk)])
             for r in sel.collect():
